@@ -1,0 +1,646 @@
+"""Typed configuration system.
+
+The reference passes flat ``opt`` dicts assembled by argparse
+(``cmd_args_parser.py:209-237``, ``full_model_train.py:552-659``) and
+round-trips them through YAML (``utils/saver.py:21-23``).  We keep the exact
+field names so YAML snapshots stay interchangeable, but move to frozen
+dataclasses so configs are hashable (usable as jit static args) and
+self-documenting.
+
+Canonical per-dataset presets mirror the run scripts
+(``run_cvppp.sh``, ``run_kitti.sh``, ``run_cityscapes.sh``), which is where
+the reference keeps its real hyperparameters.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+import yaml
+
+
+def _tuple(x):
+  if x is None:
+    return None
+  if isinstance(x, (list, tuple)):
+    return tuple(x)
+  if isinstance(x, str):  # "3,3,3" comma lists, as in the reference CLI
+    return tuple(int(v) for v in x.split(','))
+  return (x,)
+
+
+# Dataset geometry table (ref cmd_args_parser.py:18-63).
+DATASET_DIMS = {
+    'cvppp': dict(inp_height=224, inp_width=224, timespan=21),
+    'kitti': dict(inp_height=128, inp_width=448, timespan=20),
+    'cityscapes': dict(inp_height=256, inp_width=512, timespan=20),
+    'synth': dict(inp_height=64, inp_width=64, timespan=6),
+}
+
+# Augmentation defaults (ref cmd_args_parser.py:65-88): only CVPPP flips.
+DATASET_TRANSFORMS = {
+    'cvppp': dict(rnd_hflip=True, rnd_vflip=True, rnd_transpose=True,
+                  rnd_colour=False),
+    'kitti': dict(rnd_hflip=False, rnd_vflip=False, rnd_transpose=False,
+                  rnd_colour=False),
+    'cityscapes': dict(rnd_hflip=False, rnd_vflip=False, rnd_transpose=False,
+                       rnd_colour=False),
+    'synth': dict(rnd_hflip=False, rnd_vflip=False, rnd_transpose=False,
+                  rnd_colour=False),
+}
+
+
+class _ConfigBase:
+  """Shared to_dict / from_dict / YAML round-trip helpers."""
+
+  def to_dict(self):
+    d = dataclasses.asdict(self)
+    return {k: (list(v) if isinstance(v, tuple) else v) for k, v in d.items()}
+
+  @classmethod
+  def from_dict(cls, d):
+    names = {f.name for f in dataclasses.fields(cls)}
+    kwargs = {}
+    for k, v in d.items():
+      if k not in names:
+        continue
+      fld = next(f for f in dataclasses.fields(cls) if f.name == k)
+      if 'Tuple' in str(fld.type) or isinstance(getattr(cls, k, None), tuple):
+        v = _tuple(v)
+      kwargs[k] = v
+    return cls(**kwargs)
+
+  def save_yaml(self, path):
+    with open(path, 'w') as f:
+      yaml.safe_dump(self.to_dict(), f, default_flow_style=False)
+
+  @classmethod
+  def load_yaml(cls, path):
+    with open(path) as f:
+      return cls.from_dict(yaml.safe_load(f))
+
+  def replace(self, **kw):
+    return dataclasses.replace(self, **kw)
+
+
+@dataclass(frozen=True)
+class FullModelConfig(_ConfigBase):
+  """Options for the flagship recurrent-attention model.
+
+  Field names match the reference opt dict keys consumed at
+  ``full_model.py:17-159``.
+  """
+  # Geometry
+  timespan: int = 21
+  inp_height: int = 224
+  inp_width: int = 224
+  inp_depth: int = 3
+  padding: int = 16
+  filter_height: int = 48
+  filter_width: int = 48
+
+  # Controller CNN (ref full_model.py:260-299)
+  ctrl_cnn_filter_size: Tuple[int, ...] = (3, 3, 3, 3, 3, 3, 3, 3)
+  ctrl_cnn_depth: Tuple[int, ...] = (8, 8, 16, 16, 32, 32, 64, 64)
+  ctrl_cnn_pool: Tuple[int, ...] = (1, 2, 1, 2, 1, 2, 2, 2)
+  ctrl_rnn_hid_dim: int = 256
+  num_ctrl_mlp_layers: int = 1
+  ctrl_mlp_dim: int = 256
+
+  # Attention CNN / DCNN (ref full_model.py:411-536)
+  attn_cnn_filter_size: Tuple[int, ...] = (3, 3, 3, 3, 3, 3)
+  attn_cnn_depth: Tuple[int, ...] = (8, 8, 16, 16, 32, 32)
+  attn_cnn_pool: Tuple[int, ...] = (1, 2, 1, 2, 1, 2)
+  attn_dcnn_filter_size: Tuple[int, ...] = (3, 3, 3, 3, 3, 3, 3)
+  attn_dcnn_depth: Tuple[int, ...] = (32, 32, 16, 16, 8, 8, 1)
+  attn_dcnn_pool: Tuple[int, ...] = (2, 1, 2, 1, 2, 1, 1)
+  attn_cnn_skip: Optional[Tuple[int, ...]] = None  # None => all = add_skip_conn
+
+  # Glimpse RNN
+  num_ctrl_rnn_iter: int = 5
+  num_glimpse_mlp_layers: int = 2
+
+  # Regularisation / training
+  mlp_dropout: Optional[float] = None
+  attn_box_padding_ratio: float = 0.2
+  weight_decay: float = 5e-5
+  use_bn: bool = True
+  segm_loss_fn: str = 'iou'
+  box_loss_fn: str = 'iou'
+  loss_mix_ratio: float = 1.0
+  base_learn_rate: float = 0.001
+  learn_rate_decay: float = 0.96
+  steps_per_learn_rate_decay: int = 5000
+  clip_gradient: float = 1.0
+
+  # Scheduled-sampling knob (ref full_model.py:586-625)
+  use_knob: bool = False
+  knob_base: float = 1.0
+  knob_decay: float = 0.9
+  steps_per_knob_decay: int = 300
+  knob_box_offset: int = 300
+  knob_segm_offset: int = 500
+  knob_use_timescale: bool = False
+  gt_box_ctr_noise: float = 0.05
+  gt_box_pad_noise: float = 0.1
+  gt_segm_noise: float = 0.3
+
+  # Structure flags
+  squash_ctrl_params: bool = False
+  fixed_order: bool = False
+  fixed_gamma: bool = False
+  fixed_var: bool = False
+  dynamic_var: bool = False
+  use_iou_box: bool = False
+  stop_canvas_grad: bool = True
+  add_skip_conn: bool = True
+  disable_overwrite: bool = True
+
+  # Extra input channels (packed fg/orientation predictions)
+  add_d_out: bool = False
+  add_y_out: bool = False
+  num_semantic_classes: int = 1
+  ctrl_add_inp: Optional[bool] = None     # None => reference default rules
+  ctrl_add_canvas: Optional[bool] = None
+  ctrl_add_d_out: Optional[bool] = None
+  ctrl_add_y_out: Optional[bool] = None
+  attn_add_inp: Optional[bool] = None
+  attn_add_canvas: Optional[bool] = None
+  attn_add_d_out: Optional[bool] = None
+  attn_add_y_out: Optional[bool] = None
+
+  # Pretrain / freeze (ref full_model.py:73-86, 271-284)
+  pretrain_ctrl_net: Optional[str] = None
+  pretrain_attn_net: Optional[str] = None
+  pretrain_net: Optional[str] = None
+  freeze_ctrl_cnn: bool = False
+  freeze_ctrl_rnn: bool = False
+  freeze_ctrl_mlp: bool = False
+  freeze_attn_net: bool = False
+
+  # Augmentation
+  rnd_hflip: bool = False
+  rnd_vflip: bool = False
+  rnd_transpose: bool = False
+  rnd_colour: bool = False
+
+  finetune: bool = False
+
+  # TPU-native knobs (no reference equivalent)
+  dtype: str = 'float32'          # compute dtype for conv/matmul paths
+  remat: bool = False             # jax.checkpoint the per-timestep body
+  use_pallas: bool = False        # fused Pallas glimpse kernels
+
+  # ---- derived helpers -----------------------------------------------
+
+  def resolved_input_flags(self):
+    """Resolve ctrl/attn input-channel flags per ref full_model.py:129-149."""
+    add_d, add_y = self.add_d_out, self.add_y_out
+    attn_add_d = self.attn_add_d_out if self.attn_add_d_out is not None else add_d
+    attn_add_y = self.attn_add_y_out if self.attn_add_y_out is not None else add_y
+    attn_add_inp = self.attn_add_inp if self.attn_add_inp is not None else True
+    attn_add_canvas = (self.attn_add_canvas
+                       if self.attn_add_canvas is not None else True)
+    ctrl_add_d = self.ctrl_add_d_out if self.ctrl_add_d_out is not None else add_d
+    ctrl_add_y = self.ctrl_add_y_out if self.ctrl_add_y_out is not None else add_y
+    ctrl_add_inp = (self.ctrl_add_inp
+                    if self.ctrl_add_inp is not None else not ctrl_add_d)
+    ctrl_add_canvas = (self.ctrl_add_canvas
+                       if self.ctrl_add_canvas is not None else not ctrl_add_d)
+    return dict(
+        ctrl_add_inp=ctrl_add_inp, ctrl_add_canvas=ctrl_add_canvas,
+        ctrl_add_d_out=ctrl_add_d, ctrl_add_y_out=ctrl_add_y,
+        attn_add_inp=attn_add_inp, attn_add_canvas=attn_add_canvas,
+        attn_add_d_out=attn_add_d, attn_add_y_out=attn_add_y)
+
+  @property
+  def ccnn_inp_depth(self):
+    f = self.resolved_input_flags()
+    d = 0
+    if f['ctrl_add_inp']:
+      d += self.inp_depth
+    if f['ctrl_add_canvas']:
+      d += 1
+    if f['ctrl_add_d_out']:
+      d += 8
+    if f['ctrl_add_y_out']:
+      d += self.num_semantic_classes
+    return d
+
+  @property
+  def acnn_inp_depth(self):
+    f = self.resolved_input_flags()
+    d = 0
+    if f['attn_add_inp']:
+      d += self.inp_depth
+    if f['attn_add_canvas']:
+      d += 1
+    if f['attn_add_d_out']:
+      d += 8
+    if f['attn_add_y_out']:
+      d += self.num_semantic_classes
+    return d
+
+  @property
+  def ccnn_subsample(self):
+    p = 1
+    for v in self.ctrl_cnn_pool:
+      p *= v
+    return p
+
+  @property
+  def acnn_subsample(self):
+    p = 1
+    for v in self.attn_cnn_pool:
+      p *= v
+    return p
+
+  @property
+  def crnn_h(self):
+    return self.inp_height // self.ccnn_subsample
+
+  @property
+  def crnn_w(self):
+    return self.inp_width // self.ccnn_subsample
+
+  @property
+  def glimpse_map_dim(self):
+    return self.crnn_h * self.crnn_w
+
+  @property
+  def glimpse_feat_dim(self):
+    return self.ctrl_cnn_depth[-1]
+
+  @property
+  def acnn_h(self):
+    return self.filter_height // self.acnn_subsample
+
+  @property
+  def acnn_w(self):
+    return self.filter_width // self.acnn_subsample
+
+  @property
+  def core_depth(self):
+    return self.attn_cnn_depth[-1]
+
+  @property
+  def core_dim(self):
+    return self.acnn_h * self.acnn_w * self.core_depth
+
+  def resolved_attn_cnn_skip(self):
+    if self.attn_cnn_skip is not None:
+      return tuple(bool(v) for v in self.attn_cnn_skip)
+    return tuple([self.add_skip_conn] * len(self.attn_cnn_filter_size))
+
+
+@dataclass(frozen=True)
+class BoxModelConfig(_ConfigBase):
+  """Options for the box pretrain model (ref box_model.py:16-88)."""
+  timespan: int = 21
+  inp_height: int = 224
+  inp_width: int = 224
+  inp_depth: int = 3
+  padding: int = 16
+  filter_height: int = 48
+  filter_width: int = 48
+
+  ctrl_cnn_filter_size: Tuple[int, ...] = (3, 3, 3, 3, 3, 3, 3, 3)
+  ctrl_cnn_depth: Tuple[int, ...] = (8, 8, 16, 16, 32, 32, 64, 64)
+  ctrl_cnn_pool: Tuple[int, ...] = (1, 2, 1, 2, 1, 2, 2, 2)
+  ctrl_rnn_hid_dim: int = 256
+  num_ctrl_mlp_layers: int = 1
+  ctrl_mlp_dim: int = 256
+  num_ctrl_rnn_iter: int = 5
+  num_glimpse_mlp_layers: int = 2
+
+  attn_box_padding_ratio: float = 0.2
+  weight_decay: float = 5e-5
+  use_bn: bool = True
+  box_loss_fn: str = 'iou'
+  base_learn_rate: float = 0.001
+  learn_rate_decay: float = 0.9
+  steps_per_learn_rate_decay: int = 5000
+  clip_gradient: float = 1.0
+
+  squash_ctrl_params: bool = False
+  fixed_order: bool = False
+  fixed_var: bool = True
+  dynamic_var: bool = False
+  use_iou_box: bool = False
+  gt_segm_noise: float = 0.3
+
+  add_d_out: bool = False
+  add_y_out: bool = False
+  num_semantic_classes: int = 1
+
+  pretrain_cnn: Optional[str] = None
+  pretrain_net: Optional[str] = None
+  freeze_pretrain_cnn: bool = True
+
+  rnd_hflip: bool = False
+  rnd_vflip: bool = False
+  rnd_transpose: bool = False
+  rnd_colour: bool = False
+
+  finetune: bool = False
+  dtype: str = 'float32'
+  remat: bool = False
+  use_pallas: bool = False
+
+  @property
+  def ccnn_inp_depth(self):
+    d = self.inp_depth + 1
+    if self.add_d_out:
+      d += 8
+    if self.add_y_out:
+      d += self.num_semantic_classes
+    return d
+
+  @property
+  def ccnn_subsample(self):
+    p = 1
+    for v in self.ctrl_cnn_pool:
+      p *= v
+    return p
+
+  @property
+  def crnn_h(self):
+    return self.inp_height // self.ccnn_subsample
+
+  @property
+  def crnn_w(self):
+    return self.inp_width // self.ccnn_subsample
+
+  @property
+  def glimpse_map_dim(self):
+    return self.crnn_h * self.crnn_w
+
+  @property
+  def glimpse_feat_dim(self):
+    return self.ctrl_cnn_depth[-1]
+
+
+@dataclass(frozen=True)
+class FGModelConfig(_ConfigBase):
+  """Options for the fully-convolutional fg/orientation model
+  (ref fg_model.py:14-66)."""
+  inp_height: int = 224          # static shapes for XLA (ref used dynamic)
+  inp_width: int = 224
+  inp_depth: int = 3
+  padding: int = 16
+  cnn_filter_size: Tuple[int, ...] = (3, 3, 3, 3, 3)
+  cnn_depth: Tuple[int, ...] = (4, 8, 8, 12, 16)
+  cnn_pool: Tuple[int, ...] = (2, 2, 2, 2, 2)
+  dcnn_filter_size: Tuple[int, ...] = (3, 3, 3, 3, 3, 3)
+  dcnn_depth: Tuple[int, ...] = (8, 6, 4, 4, 2, 1)
+  dcnn_pool: Tuple[int, ...] = (2, 2, 2, 2, 2, 1)
+  use_bn: bool = True
+  weight_decay: float = 5e-5
+  base_learn_rate: float = 0.001
+  learn_rate_decay: float = 0.96
+  steps_per_learn_rate_decay: int = 5000
+  add_skip_conn: bool = True
+  cnn_skip_mask: Optional[Tuple[int, ...]] = None
+  dcnn_skip_mask: Optional[Tuple[int, ...]] = None
+  segm_loss_fn: str = 'iou'
+  add_orientation: bool = False
+  num_orientation_classes: int = 8
+  num_semantic_classes: int = 1
+  optimizer: str = 'adam'
+  rnd_hflip: bool = False
+  rnd_vflip: bool = False
+  rnd_transpose: bool = False
+  rnd_colour: bool = False
+  dtype: str = 'float32'
+
+  def resolved_cnn_skip_mask(self):
+    if self.cnn_skip_mask is not None:
+      return tuple(bool(v) for v in self.cnn_skip_mask)
+    return tuple([self.add_skip_conn] * len(self.cnn_filter_size))
+
+  def resolved_dcnn_skip_mask(self):
+    if self.dcnn_skip_mask is not None:
+      return tuple(bool(v) for v in self.dcnn_skip_mask)
+    return self.resolved_cnn_skip_mask()[::-1]
+
+
+@dataclass(frozen=True)
+class TrainConfig(_ConfigBase):
+  """Train-loop options (ref cmd_args_parser.py TrainArgsParser:91-138)."""
+  model_id: Optional[str] = None
+  num_steps: int = 500000
+  steps_per_ckpt: int = 1000
+  steps_per_valid: int = 50
+  steps_per_trainval: int = 50
+  steps_per_plot: int = 500
+  steps_per_log: int = 10
+  batch_size: int = 32
+  results: str = 'results'
+  logs: str = 'logs'
+  localhost: str = 'localhost'
+  restore: Optional[str] = None
+  num_samples_plot: int = 5
+  save_ckpt: bool = False
+  has_valid: bool = True
+  num_batch_valid: int = 10
+  h5_fname_train: Optional[str] = None
+  h5_fname_valid: Optional[str] = None
+  prefetch: bool = False
+  queue_size: int = 50
+  num_worker: int = 4
+
+
+@dataclass(frozen=True)
+class EvalConfig(_ConfigBase):
+  """Eval options (ref cmd_args_parser.py EvalArgsParser:141-166)."""
+  model_id: Optional[str] = None
+  batch_size: int = 32
+  results: str = './results'
+  output: Optional[str] = None
+  split: str = 'valid'
+  prefetch: bool = False
+  queue_size: int = 50
+  num_worker: int = 4
+
+
+@dataclass(frozen=True)
+class DataConfig(_ConfigBase):
+  """Dataset options (ref cmd_args_parser.py DataArgsParser:169-206)."""
+  dataset: str = 'cvppp'
+  folder: Optional[str] = None
+  height: int = 224
+  width: int = 224
+  timespan: int = 21
+
+
+def data_config_for(dataset: str, folder: Optional[str] = None) -> DataConfig:
+  dims = DATASET_DIMS[dataset]
+  return DataConfig(dataset=dataset, folder=folder, height=dims['inp_height'],
+                    width=dims['inp_width'], timespan=dims['timespan'])
+
+
+# ---------------------------------------------------------------------------
+# Canonical presets (hyperparameters from the run_*.sh pipelines).
+# ---------------------------------------------------------------------------
+
+def cvppp_box_config() -> BoxModelConfig:
+  """ref run_cvppp.sh:15-28."""
+  d = DATASET_DIMS['cvppp']
+  t = DATASET_TRANSFORMS['cvppp']
+  return BoxModelConfig(
+      timespan=d['timespan'], inp_height=d['inp_height'],
+      inp_width=d['inp_width'],
+      ctrl_cnn_filter_size=(3,) * 8,
+      ctrl_cnn_depth=(8, 8, 16, 16, 32, 32, 64, 64),
+      ctrl_cnn_pool=(1, 2, 1, 2, 1, 2, 2, 2),
+      num_ctrl_mlp_layers=1,
+      base_learn_rate=0.001, learn_rate_decay=0.9,
+      steps_per_learn_rate_decay=5000, **t)
+
+
+def cvppp_full_config() -> FullModelConfig:
+  """ref run_cvppp.sh:37-72."""
+  d = DATASET_DIMS['cvppp']
+  t = DATASET_TRANSFORMS['cvppp']
+  return FullModelConfig(
+      timespan=d['timespan'], inp_height=d['inp_height'],
+      inp_width=d['inp_width'],
+      use_knob=True, knob_decay=0.5, steps_per_knob_decay=700,
+      knob_box_offset=-50000, knob_segm_offset=3000, knob_use_timescale=True,
+      box_loss_fn='iou', segm_loss_fn='iou',
+      ctrl_cnn_filter_size=(3,) * 8,
+      ctrl_cnn_depth=(8, 8, 16, 16, 32, 32, 64, 64),
+      ctrl_cnn_pool=(1, 2, 1, 2, 1, 2, 2, 2),
+      num_ctrl_mlp_layers=1,
+      attn_cnn_filter_size=(3,) * 6,
+      attn_cnn_depth=(8, 8, 16, 16, 32, 32),
+      attn_cnn_pool=(1, 2, 1, 2, 1, 2),
+      attn_dcnn_filter_size=(3,) * 7,
+      attn_dcnn_depth=(32, 32, 16, 16, 8, 8, 1),
+      attn_dcnn_pool=(2, 1, 2, 1, 2, 1, 1),
+      filter_height=48, filter_width=48,
+      fixed_gamma=True, stop_canvas_grad=True,
+      base_learn_rate=0.001, learn_rate_decay=0.8,
+      steps_per_learn_rate_decay=5000,
+      ctrl_add_inp=True, ctrl_add_canvas=True,
+      attn_add_inp=True, attn_add_canvas=True,
+      **t)
+
+
+def kitti_fg_config() -> FGModelConfig:
+  """ref run_kitti.sh:13-28."""
+  d = DATASET_DIMS['kitti']
+  t = DATASET_TRANSFORMS['kitti']
+  return FGModelConfig(
+      inp_height=d['inp_height'], inp_width=d['inp_width'],
+      cnn_filter_size=(3,) * 18,
+      cnn_depth=(32, 64, 64, 96, 96, 128, 128, 128, 128, 128, 128, 128, 128,
+                 256, 256, 256, 256, 512),
+      cnn_pool=(1, 2, 1, 2, 1, 2, 1, 1, 1, 1, 1, 1, 1, 2, 1, 1, 1, 2),
+      cnn_skip_mask=(1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 1, 0, 0, 0, 1),
+      dcnn_filter_size=(3,) * 11,
+      dcnn_depth=(256, 256, 128, 128, 96, 96, 64, 64, 32, 32, 9),
+      dcnn_pool=(2, 1, 2, 1, 2, 1, 2, 1, 2, 1, 1),
+      dcnn_skip_mask=(1, 0, 1, 0, 1, 0, 0, 0, 0, 1, 0),
+      add_skip_conn=True,
+      add_orientation=True, num_orientation_classes=8,
+      optimizer='momentum', segm_loss_fn='bce', **t)
+
+
+def kitti_box_config() -> BoxModelConfig:
+  """ref run_kitti.sh:44-60 (uses packed fg/orientation channels)."""
+  d = DATASET_DIMS['kitti']
+  t = DATASET_TRANSFORMS['kitti']
+  return BoxModelConfig(
+      timespan=d['timespan'], inp_height=d['inp_height'],
+      inp_width=d['inp_width'],
+      ctrl_cnn_filter_size=(3,) * 8,
+      ctrl_cnn_depth=(16, 16, 32, 32, 64, 64, 64, 64),
+      ctrl_cnn_pool=(1, 2, 1, 2, 1, 2, 2, 2),
+      num_ctrl_mlp_layers=1, dynamic_var=True,
+      add_d_out=True, add_y_out=True,
+      base_learn_rate=0.001, learn_rate_decay=0.9,
+      steps_per_learn_rate_decay=5000, **t)
+
+
+def kitti_full_config() -> FullModelConfig:
+  """ref run_kitti.sh:69-111."""
+  d = DATASET_DIMS['kitti']
+  t = DATASET_TRANSFORMS['kitti']
+  return FullModelConfig(
+      timespan=d['timespan'], inp_height=d['inp_height'],
+      inp_width=d['inp_width'],
+      use_knob=True, knob_decay=0.5, steps_per_knob_decay=1500,
+      knob_box_offset=100, knob_segm_offset=8000, knob_use_timescale=True,
+      box_loss_fn='iou', segm_loss_fn='iou',
+      ctrl_cnn_filter_size=(3,) * 8,
+      ctrl_cnn_depth=(16, 16, 32, 32, 64, 64, 64, 64),
+      ctrl_cnn_pool=(2, 2, 1, 2, 1, 2, 1, 2),
+      num_ctrl_mlp_layers=1,
+      attn_cnn_filter_size=(3,) * 6,
+      attn_cnn_depth=(16, 32, 32, 64, 64, 96),
+      attn_cnn_pool=(1, 2, 1, 2, 1, 2),
+      attn_dcnn_filter_size=(3,) * 7,
+      attn_dcnn_depth=(64, 64, 32, 32, 16, 16, 1),
+      attn_dcnn_pool=(2, 1, 2, 1, 2, 1, 1),
+      attn_cnn_skip=(1, 0, 1, 0, 1, 0, 1, 0),
+      filter_height=48, filter_width=48,
+      dynamic_var=True, add_skip_conn=True, stop_canvas_grad=True,
+      add_d_out=True, add_y_out=True,
+      ctrl_add_inp=True, ctrl_add_canvas=True,
+      ctrl_add_d_out=True, ctrl_add_y_out=True,
+      attn_add_inp=True, attn_add_canvas=True,
+      attn_add_d_out=True, attn_add_y_out=True,
+      base_learn_rate=0.001, learn_rate_decay=0.85,
+      steps_per_learn_rate_decay=5000,
+      **t)
+
+
+def cityscapes_full_config() -> FullModelConfig:
+  """ref run_cityscapes.sh:61-109."""
+  cfg = kitti_full_config()
+  d = DATASET_DIMS['cityscapes']
+  return cfg.replace(
+      timespan=d['timespan'], inp_height=d['inp_height'],
+      inp_width=d['inp_width'], num_semantic_classes=9)
+
+
+def tiny_full_config(**overrides) -> FullModelConfig:
+  """Small config for tests/CI: 64x64 images, short timespan."""
+  base = dict(
+      timespan=4, inp_height=64, inp_width=64, padding=4,
+      filter_height=16, filter_width=16,
+      ctrl_cnn_filter_size=(3, 3, 3), ctrl_cnn_depth=(4, 8, 8),
+      ctrl_cnn_pool=(2, 2, 2), ctrl_rnn_hid_dim=32, num_ctrl_mlp_layers=1,
+      ctrl_mlp_dim=32,
+      attn_cnn_filter_size=(3, 3), attn_cnn_depth=(4, 8),
+      attn_cnn_pool=(2, 2),
+      attn_dcnn_filter_size=(3, 3, 3), attn_dcnn_depth=(8, 4, 1),
+      attn_dcnn_pool=(2, 2, 1),
+      num_ctrl_rnn_iter=2, num_glimpse_mlp_layers=1,
+      fixed_gamma=True, squash_ctrl_params=True)
+  base.update(overrides)
+  return FullModelConfig(**base)
+
+
+def tiny_box_config(**overrides) -> BoxModelConfig:
+  base = dict(
+      timespan=4, inp_height=64, inp_width=64, padding=4,
+      filter_height=16, filter_width=16,
+      ctrl_cnn_filter_size=(3, 3, 3), ctrl_cnn_depth=(4, 8, 8),
+      ctrl_cnn_pool=(2, 2, 2), ctrl_rnn_hid_dim=32, num_ctrl_mlp_layers=1,
+      ctrl_mlp_dim=32, num_ctrl_rnn_iter=2, num_glimpse_mlp_layers=1,
+      squash_ctrl_params=True)
+  base.update(overrides)
+  return BoxModelConfig(**base)
+
+
+def tiny_fg_config(**overrides) -> FGModelConfig:
+  base = dict(
+      inp_height=64, inp_width=64, padding=4,
+      cnn_filter_size=(3, 3, 3), cnn_depth=(4, 8, 8), cnn_pool=(2, 2, 2),
+      dcnn_filter_size=(3, 3, 3), dcnn_depth=(8, 4, 1), dcnn_pool=(2, 2, 2))
+  base.update(overrides)
+  return FGModelConfig(**base)
