@@ -60,9 +60,12 @@ def conv2d_transpose(x, w, stride):
   Matches ``tf.nn.conv2d_transpose`` semantics used at nnlib.py:372-376:
   the filter is [F, F, out_ch, in_ch].
   """
+  # With transpose_kernel=True the TF-layout [F, F, out, in] filter is
+  # exactly the 'HWIO' spec of the corresponding *forward* conv whose
+  # gradient this computes.
   return jax.lax.conv_transpose(
       x, w, strides=(stride, stride), padding='SAME',
-      dimension_numbers=('NHWC', 'HWOI', 'NHWC'),
+      dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
       transpose_kernel=True,
       preferred_element_type=jnp.float32)
 
