@@ -1,0 +1,52 @@
+"""Dataset registry (ref data_api/data_provider.py:15-67): name -> Dataset
+with the ``{split}_{H}x{W}.h5`` filename convention and default folders."""
+
+from __future__ import annotations
+
+import os
+
+DEFAULT_FOLDERS = {
+    'cvppp': 'data/cvppp/A1',
+    'cvppp_test': 'data/cvppp_test/A1',
+    'kitti': 'data/kitti',
+    'cityscapes': 'data/cityscapes',
+    'synth': 'data/synth',
+}
+
+
+def get(dataset_name, data_opt, split='train', h5_fname=None):
+  """data_opt: DataConfig or dict with folder/height/width."""
+  opt = data_opt if isinstance(data_opt, dict) else data_opt.to_dict()
+  folder = opt.get('folder')
+  if dataset_name == 'cvppp':
+    if folder is None:
+      folder = (DEFAULT_FOLDERS['cvppp'] if split != 'test'
+                else DEFAULT_FOLDERS['cvppp_test'])
+    from rec_attend_tpu.data.cvppp import CVPPP
+    cls = CVPPP
+  elif dataset_name == 'kitti':
+    folder = folder or DEFAULT_FOLDERS['kitti']
+    from rec_attend_tpu.data.kitti import KITTI
+    cls = KITTI
+  elif dataset_name == 'cityscapes':
+    folder = folder or DEFAULT_FOLDERS['cityscapes']
+    from rec_attend_tpu.data.cityscapes import Cityscapes
+    cls = Cityscapes
+  elif dataset_name == 'synth':
+    folder = folder or DEFAULT_FOLDERS['synth']
+    from rec_attend_tpu.data.synthetic import Synthetic, make_synthetic_h5
+    if h5_fname is None:
+      h5_fname = os.path.join(folder, '{}_{}x{}.h5'.format(
+          split, opt['height'], opt['width']))
+    if not os.path.exists(h5_fname):
+      os.makedirs(os.path.dirname(h5_fname), exist_ok=True)
+      seed = {'train': 3, 'valid': 4, 'test': 5}.get(split, 6)
+      return make_synthetic_h5(h5_fname, height=opt['height'],
+                               width=opt['width'], seed=seed)
+    return Synthetic(h5_fname)
+  else:
+    raise ValueError(f'Unknown dataset name: {dataset_name}')
+  if h5_fname is None:
+    h5_fname = os.path.join(folder, '{}_{}x{}.h5'.format(
+        split, opt['height'], opt['width']))
+  return cls(h5_fname)
