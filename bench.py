@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Benchmark: batched recurrent eval throughput of the flagship model.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric: decoded instance slots per second (batch x timespan / wall step) on
+the CVPPP-shaped full model (224x224, T=21) in eval mode on one chip.
+
+Baseline: the reference publishes no numbers (BASELINE.md); the comparison
+constant below is an estimate of its TF-0.12 single-GPU eval throughput
+(~2 images/s at 224x224 T=21 => ~42 instance slots/s), derived from the
+step_time channel it logs (runner.py:54-57).  The driver-stated target is
+>=50x this on one v5e chip.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REF_INSTANCES_PER_SEC = 42.0   # estimated reference throughput (see above)
+
+
+def main():
+  import jax
+  import jax.numpy as jnp
+  from rec_attend_tpu import config
+  from rec_attend_tpu.models import full_model
+
+  cfg = config.cvppp_full_config().replace(use_knob=False)
+  batch = 8
+  key = jax.random.PRNGKey(0)
+  params = full_model.init_full_model(key, cfg)
+
+  rng = np.random.RandomState(0)
+  h, w, t = cfg.inp_height, cfg.inp_width, cfg.timespan
+  x = jnp.asarray(rng.rand(batch, h, w, 3).astype(np.float32))
+  y = jnp.zeros((batch, t, h, w), jnp.float32)
+  s = jnp.zeros((batch, t), jnp.float32)
+  b = {'x': x, 'y_gt': y, 's_gt': s}
+
+  @jax.jit
+  def fwd(params, batch, key):
+    outputs, _ = full_model.full_model_forward(params, batch, cfg,
+                                               train=False, key=key)
+    return outputs['y_out'], outputs['s_out']
+
+  # Warmup/compile.
+  out = fwd(params, b, key)
+  jax.block_until_ready(out)
+
+  iters = 10
+  t0 = time.perf_counter()
+  for i in range(iters):
+    out = fwd(params, b, jax.random.fold_in(key, i))
+  jax.block_until_ready(out)
+  dt = time.perf_counter() - t0
+
+  instances_per_sec = batch * t * iters / dt
+  print(json.dumps({
+      'metric': 'full_model_eval_instances_per_sec',
+      'value': round(instances_per_sec, 2),
+      'unit': 'instances/s',
+      'vs_baseline': round(instances_per_sec / REF_INSTANCES_PER_SEC, 2),
+  }))
+
+
+if __name__ == '__main__':
+  main()

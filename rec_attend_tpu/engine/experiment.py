@@ -1,0 +1,345 @@
+"""Experiment orchestration: the training/eval loops.
+
+Capability twin of the reference's ``experiment.py`` + ``runner.py``: an
+experiment owns the config snapshot, dataset pair, checkpointing and the
+step-cadence loop (valid/trainval every ``steps_per_valid``, plots every
+``steps_per_plot``, checkpoints every ``steps_per_ckpt`` —
+experiment.py:220-274).  The per-step work is one donated jitted train step
+(parallel/train_step.py) instead of ``num_batch`` feed_dict session runs.
+
+Model wiring is declarative via ``ModelSpec`` so the same engine drives the
+full, box and fg models (the reference re-wrote Runner subclasses per
+script).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import datetime
+import os
+import time
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rec_attend_tpu.data import provider
+from rec_attend_tpu.data.batch_iter import (BatchIterator,
+                                            ConcurrentBatchIterator)
+from rec_attend_tpu.engine.saver import Saver
+from rec_attend_tpu.parallel import train_step as ts_lib
+from rec_attend_tpu.utils import logger
+from rec_attend_tpu.utils.log_manager import LogManager
+from rec_attend_tpu.utils.time_series_logger import TimeSeriesLogger
+
+
+def assign_model_id(prefix=''):
+  """Timestamp model ids (ref assign_model_id.py:10-16)."""
+  stamp = datetime.datetime.now().strftime('%Y%m%d%H%M%S')
+  return f'{prefix}-{stamp}' if prefix else stamp
+
+
+@dataclasses.dataclass
+class ModelSpec:
+  """How to build/run one model family."""
+  name: str
+  init_fn: Callable                 # (key, cfg) -> params
+  loss_fn: Callable                 # (params, batch, cfg, train, key, step)
+  forward_fn: Callable              # (params, batch, cfg, train, key[, step])
+  batch_variables: Sequence[str]    # dataset variables to fetch
+  batch_map: dict                   # dataset var -> model input name
+  freeze_fn: Optional[Callable] = None
+  load_pretrained_fn: Optional[Callable] = None
+  train_metrics: Sequence[str] = ('loss',)
+  eval_metrics: Sequence[str] = ('loss',)
+
+
+def get_model_spec(name: str) -> ModelSpec:
+  if name == 'full':
+    from rec_attend_tpu.models import full_model as m
+    return ModelSpec(
+        name='full', init_fn=m.init_full_model, loss_fn=m.full_model_loss,
+        forward_fn=m.full_model_forward,
+        batch_variables=('x', 'y_gt', 's_gt'),
+        batch_map={'x': 'x', 'y_gt': 'y_gt', 's_gt': 's_gt',
+                   'd_out': 'd_in', 'y_out': 'y_in'},
+        freeze_fn=m.freeze_mask, load_pretrained_fn=m.load_pretrained,
+        train_metrics=('loss',),
+        eval_metrics=('loss', 'segm_loss', 'conf_loss', 'box_loss',
+                      'iou_soft', 'iou_hard', 'dice', 'count_acc',
+                      'dic', 'dic_abs', 'wt_cov_soft', 'wt_cov_hard',
+                      'learn_rate'))
+  if name == 'box':
+    from rec_attend_tpu.models import box_model as m
+    return ModelSpec(
+        name='box', init_fn=m.init_box_model, loss_fn=m.box_model_loss,
+        forward_fn=m.box_model_forward,
+        batch_variables=('x', 'y_gt', 's_gt'),
+        batch_map={'x': 'x', 'y_gt': 'y_gt', 's_gt': 's_gt',
+                   'd_out': 'd_in', 'y_out': 'y_in'},
+        freeze_fn=m.freeze_mask, load_pretrained_fn=m.load_pretrained,
+        train_metrics=('loss',),
+        eval_metrics=('loss', 'box_loss', 'conf_loss', 'iou_soft_box',
+                      'learn_rate'))
+  if name == 'fg':
+    from rec_attend_tpu.models import fg_model as m
+
+    def fg_loss(params, batch, cfg, train, key, step):
+      return m.fg_model_loss(params, batch, cfg, train, key, step)
+
+    return ModelSpec(
+        name='fg', init_fn=m.init_fg_model, loss_fn=fg_loss,
+        forward_fn=lambda p, b, cfg, train, key, step=0:
+            m.fg_model_forward(p, b, cfg, train, key),
+        batch_variables=('x', 'c_gt', 'd_gt'),
+        batch_map={'x': 'x', 'c_gt': 'y_gt', 'd_gt': 'd_gt'},
+        train_metrics=('loss',),
+        eval_metrics=('loss', 'iou_soft', 'iou_hard', 'foreground_loss',
+                      'learn_rate'))
+  raise ValueError(f'Unknown model spec: {name}')
+
+
+class ExperimentBase:
+  """Common setup: model_id, saver + YAML snapshots, params init/restore,
+  dataset construction (ref experiment.py:21-96)."""
+
+  def __init__(self, spec_name, model_cfg, train_cfg, data_cfg, seed=0,
+               mesh=None, extra_variables=()):
+    self.log = logger.get()
+    self.spec = get_model_spec(spec_name)
+    self.model_cfg = model_cfg
+    self.train_cfg = train_cfg
+    self.data_cfg = data_cfg
+    self.mesh = mesh
+    self.step = 0
+    self.key = jax.random.PRNGKey(seed)
+
+    restore = train_cfg.restore
+    if restore:
+      self.model_id = os.path.basename(restore.rstrip('/'))
+      self.folder = restore
+    else:
+      self.model_id = (train_cfg.model_id or
+                       assign_model_id(f'{spec_name}_model'))
+      self.folder = os.path.join(train_cfg.results, self.model_id)
+    self.saver = Saver(self.folder, model_opt=model_cfg, data_opt=data_cfg)
+
+    self.variables = set(self.spec.batch_variables) | set(extra_variables)
+    needs_packed = getattr(model_cfg, 'add_d_out', False)
+    if needs_packed:
+      self.variables |= {'d_out', 'y_out'}
+
+    self.key, k_init = jax.random.split(self.key)
+    self.params = self.spec.init_fn(k_init, model_cfg)
+    if self.spec.load_pretrained_fn is not None:
+      self.params = self.spec.load_pretrained_fn(self.params, model_cfg)
+
+    # Subclasses restore with their full (params, opt_state) template.
+    self.should_restore = bool(restore) and (self.saver.get_latest_ckpt()
+                                             is not None)
+
+  def make_batch_fn(self, dataset, timespan=None):
+    """Returns idx -> model batch dict (host decode + rename)."""
+    spec = self.spec
+
+    def get_batch(idx):
+      raw = dataset.get_batch(idx, timespan=timespan,
+                              variables=self.variables)
+      batch = {}
+      for src, dst in spec.batch_map.items():
+        if src in raw:
+          batch[dst] = raw[src]
+      return batch
+
+    return get_batch
+
+  def get_dataset(self, split):
+    name = self.data_cfg.dataset
+    h5 = None
+    if split == 'train' and self.train_cfg.h5_fname_train:
+      h5 = self.train_cfg.h5_fname_train
+    if split == 'valid' and self.train_cfg.h5_fname_valid:
+      h5 = self.train_cfg.h5_fname_valid
+    return provider.get(name, self.data_cfg, split=split, h5_fname=h5)
+
+
+class TrainingExperiment(ExperimentBase):
+  """The train loop (ref experiment.py:157-274)."""
+
+  def __init__(self, spec_name, model_cfg, train_cfg, data_cfg, seed=0,
+               mesh=None, plot_fn=None):
+    super().__init__(spec_name, model_cfg, train_cfg, data_cfg, seed=seed,
+                     mesh=mesh)
+    self.plot_fn = plot_fn
+    self.logs_folder = os.path.join(train_cfg.logs, self.model_id)
+    self.log_manager = LogManager(self.logs_folder)
+    self.loggers = {}
+    url = (f'http://{train_cfg.localhost}/deep-dashboard?id={self.model_id}')
+    self.log.info(f'Dashboard: {url}')
+
+    freeze = (self.spec.freeze_fn(self.params, model_cfg)
+              if self.spec.freeze_fn else None)
+    self.train_step, self.tx = ts_lib.make_train_step(
+        self.spec.loss_fn, model_cfg, freeze=freeze, mesh=mesh)
+    self.eval_step = ts_lib.make_eval_step(self.spec.loss_fn, model_cfg,
+                                           mesh=mesh)
+    self.opt_state = self.tx.init(self.params)
+    if self.should_restore:
+      self.restore_ckpt()
+      if getattr(model_cfg, 'finetune', False):
+        self.step = 0   # finetune resets the step (ref experiment.py:28-37)
+
+    self.train_ds = self.get_dataset('train')
+    self.valid_ds = (self.get_dataset('valid')
+                     if train_cfg.has_valid else None)
+    timespan = getattr(model_cfg, 'timespan', None)
+    bs = train_cfg.batch_size
+
+    def make_iter(ds, cycle=True, stagnant=False):
+      it = BatchIterator(
+          ds.get_dataset_size(), batch_size=bs, cycle=cycle,
+          shuffle=True, get_fn=self.make_batch_fn(ds, timespan))
+      if train_cfg.prefetch:
+        it = ConcurrentBatchIterator(
+            it, max_queue_size=train_cfg.queue_size,
+            num_threads=train_cfg.num_worker)
+      return it
+
+    self.train_iter = make_iter(self.train_ds)
+    self.valid_iter = (make_iter(self.valid_ds)
+                       if self.valid_ds is not None else None)
+
+  def _logger_for(self, name, labels):
+    if name not in self.loggers:
+      fname = os.path.join(self.logs_folder, f'{name}.csv')
+      self.loggers[name] = TimeSeriesLogger(fname, labels,
+                                            restore_step=self.step)
+      self.log_manager.register(fname, 'csv', name)
+    return self.loggers[name]
+
+  def _device_batch(self, batch):
+    if self.mesh is not None:
+      from rec_attend_tpu.parallel import mesh as mesh_lib
+      return mesh_lib.shard_batch(self.mesh, batch)
+    return {k: jnp.asarray(v) for k, v in batch.items()}
+
+  def _eval_pass(self, it, num_batches, split_name):
+    """Batch-size-weighted averaging of scalar metrics
+    (ref runner.py:62-89)."""
+    sums = {}
+    count = 0
+    for _ in range(num_batches):
+      batch = next(it)
+      n = len(next(iter(batch.values())))
+      self.key, k = jax.random.split(self.key)
+      metrics = self.eval_step(self.params, self._device_batch(batch), k)
+      for name, v in metrics.items():
+        sums[name] = sums.get(name, 0.0) + float(v) * n
+      count += n
+    avg = {k: v / max(count, 1) for k, v in sums.items()}
+    for name in self.spec.eval_metrics:
+      if name in avg:
+        self._logger_for(name, [f'train {name}', f'valid {name}']).add(
+            self.step, [avg[name], None] if split_name == 'train'
+            else [None, avg[name]])
+    return avg
+
+  def run(self):
+    cfg = self.train_cfg
+    start = self.step
+    step_time_logger = self._logger_for('step_time', ['step time (ms)'])
+    last_log = time.time()
+    while self.step < cfg.num_steps:
+      # Validation cadence (ref experiment.py:247-255).
+      if (cfg.has_valid and self.step % cfg.steps_per_valid == 0
+          and self.valid_iter is not None):
+        self._eval_pass(self.valid_iter,
+                        min(cfg.num_batch_valid, 2 if self.step == start
+                            else cfg.num_batch_valid), 'valid')
+      if self.step % cfg.steps_per_trainval == 0:
+        self._eval_pass(self.train_iter, 1, 'train')
+      if (self.plot_fn is not None and cfg.steps_per_plot > 0
+          and self.step % cfg.steps_per_plot == 0):
+        self.plot_fn(self)
+
+      batch = next(self.train_iter)
+      self.key, k = jax.random.split(self.key)
+      t0 = time.time()
+      self.params, self.opt_state, metrics = self.train_step(
+          self.params, self.opt_state, self._device_batch(batch), k,
+          jnp.asarray(self.step, jnp.float32))
+      loss = float(metrics['loss'])
+      step_ms = (time.time() - t0) * 1000
+      self.step += 1
+
+      if self.step % cfg.steps_per_log == 0:
+        step_time_logger.add(self.step, step_ms)
+        self._logger_for('loss', ['train loss', 'valid loss']).add(
+            self.step, [loss, None])
+        if time.time() - last_log > 10 or self.step % 100 == 0:
+          self.log.info(f'step {self.step} loss {loss:.4f} '
+                        f'({step_ms:.0f} ms/step)')
+          last_log = time.time()
+      if not np.isfinite(loss):
+        self.log.error(f'NaN/Inf loss at step {self.step}; stopping')
+        break
+
+      if cfg.save_ckpt and self.step % cfg.steps_per_ckpt == 0:
+        self.checkpoint()
+
+    if cfg.save_ckpt:
+      self.checkpoint()
+    for lg in self.loggers.values():
+      lg.flush()
+    return self.params
+
+  def checkpoint(self):
+    self.saver.save({'params': self.params, 'opt_state': self.opt_state},
+                    self.step)
+
+  def restore_ckpt(self):
+    tree, self.step = self.saver.restore(
+        {'params': self.params, 'opt_state': self.opt_state})
+    self.params = tree['params']
+    self.opt_state = tree['opt_state']
+
+
+class EvalExperiment(ExperimentBase):
+  """Run eval over full splits until exhaustion (ref experiment.py:129-154
+  + evaluation.py OneTimeEvalBase)."""
+
+  def __init__(self, spec_name, model_cfg, train_cfg, data_cfg, splits,
+               mesh=None, extra_variables=()):
+    super().__init__(spec_name, model_cfg, train_cfg, data_cfg, mesh=mesh,
+                     extra_variables=extra_variables)
+    self.splits = splits
+    if self.saver.get_latest_ckpt() is not None:
+      from rec_attend_tpu.parallel.train_step import make_optimizer
+      tx = make_optimizer(model_cfg)
+      tree = {'params': self.params, 'opt_state': tx.init(self.params)}
+      loaded, self.step = self.saver.restore(tree)
+      self.params = loaded['params']
+    self.forward = ts_lib.make_forward_fn(
+        lambda p, b, cfg, train, key: self.spec.forward_fn(
+            p, b, cfg, train, key), model_cfg, mesh=mesh)
+
+  def iterate_split(self, split, batch_size=None, variables=None,
+                    timespan=None):
+    """Yields (raw_batch, outputs) over one split, unshuffled, no cycling."""
+    ds = self.get_dataset(split)
+    bs = batch_size or self.train_cfg.batch_size
+    timespan = timespan or getattr(self.model_cfg, 'timespan', None)
+    it = BatchIterator(ds.get_dataset_size(), batch_size=bs, cycle=False,
+                       shuffle=False)
+    for idx in it:
+      raw = ds.get_batch(idx, timespan=timespan,
+                         variables=self.variables | {'idx_map', 'orig_size'})
+      batch = {}
+      for src, dst in self.spec.batch_map.items():
+        if src in raw:
+          batch[dst] = raw[src]
+      self.key, k = jax.random.split(self.key)
+      jb = {k2: jnp.asarray(v) for k2, v in batch.items()}
+      outputs = self.forward(self.params, jb, k)
+      yield ds, raw, jax.tree_util.tree_map(np.asarray, outputs)

@@ -1,0 +1,117 @@
+"""Engine tests: training loop end-to-end on synthetic data, checkpointing,
+resume, eval iteration."""
+
+import os
+
+import numpy as np
+import pytest
+
+from rec_attend_tpu import config
+from rec_attend_tpu.engine import experiment as exp_lib
+from rec_attend_tpu.engine.saver import Saver, save_pytree, load_pytree
+
+
+def _tiny_setup(tmp_path, spec='full', num_steps=8, **model_over):
+  data_folder = str(tmp_path / 'data')
+  results = str(tmp_path / 'results')
+  logs = str(tmp_path / 'logs')
+  if spec == 'fg':
+    model_cfg = config.tiny_fg_config(inp_height=32, inp_width=32,
+                                      **model_over)
+  else:
+    model_cfg = (config.tiny_full_config(timespan=6, inp_height=32,
+                                         inp_width=32, filter_height=8,
+                                         filter_width=8, **model_over)
+                 if spec == 'full' else
+                 config.tiny_box_config(timespan=6, inp_height=32,
+                                        inp_width=32, filter_height=8,
+                                        filter_width=8, **model_over))
+  train_cfg = config.TrainConfig(
+      num_steps=num_steps, batch_size=2, results=results, logs=logs,
+      steps_per_valid=4, steps_per_trainval=4, steps_per_log=2,
+      steps_per_ckpt=4, steps_per_plot=0, num_batch_valid=1,
+      save_ckpt=True, model_id=f'{spec}_test')
+  data_cfg = config.DataConfig(dataset='synth', folder=data_folder,
+                               height=32, width=32, timespan=6)
+  return model_cfg, train_cfg, data_cfg
+
+
+def test_training_experiment_full(tmp_path):
+  model_cfg, train_cfg, data_cfg = _tiny_setup(tmp_path, 'full')
+  exp = exp_lib.TrainingExperiment('full', model_cfg, train_cfg, data_cfg)
+  exp.run()
+  assert exp.step == train_cfg.num_steps
+  # Checkpoints + YAML snapshots exist.
+  folder = os.path.join(train_cfg.results, 'full_test')
+  assert os.path.exists(os.path.join(folder, 'model_opt.yaml'))
+  assert os.path.exists(os.path.join(folder, 'data_opt.yaml'))
+  ckpts = [f for f in os.listdir(folder) if f.startswith('ckpt-')]
+  assert len(ckpts) >= 1
+  # max_to_keep pruning
+  assert len(ckpts) <= 2
+  # Time-series CSVs written.
+  logs = os.path.join(train_cfg.logs, 'full_test')
+  assert os.path.exists(os.path.join(logs, 'loss.csv'))
+  assert os.path.exists(os.path.join(logs, 'step_time.csv'))
+  assert os.path.exists(os.path.join(logs, 'catalog'))
+
+
+def test_training_resume(tmp_path):
+  model_cfg, train_cfg, data_cfg = _tiny_setup(tmp_path, 'box', num_steps=4)
+  exp = exp_lib.TrainingExperiment('box', model_cfg, train_cfg, data_cfg)
+  exp.run()
+  p0 = np.asarray(exp.params['ctrl_mlp'][0]['w'])
+
+  # Resume from the checkpoint folder and train 4 more steps.
+  train_cfg2 = train_cfg.replace(
+      restore=os.path.join(train_cfg.results, 'box_test'), num_steps=6)
+  exp2 = exp_lib.TrainingExperiment('box', model_cfg, train_cfg2, data_cfg)
+  exp2.restore_ckpt()
+  assert exp2.step == 4
+  np.testing.assert_allclose(np.asarray(exp2.params['ctrl_mlp'][0]['w']), p0)
+  exp2.run()
+  assert exp2.step == 6
+
+
+def test_training_experiment_fg(tmp_path):
+  model_cfg, train_cfg, data_cfg = _tiny_setup(tmp_path, 'fg')
+  exp = exp_lib.TrainingExperiment('fg', model_cfg, train_cfg, data_cfg)
+  exp.run()
+  assert exp.step == train_cfg.num_steps
+
+
+def test_eval_experiment_iterates(tmp_path):
+  model_cfg, train_cfg, data_cfg = _tiny_setup(tmp_path, 'full', num_steps=2)
+  exp = exp_lib.TrainingExperiment('full', model_cfg, train_cfg, data_cfg)
+  exp.run()
+
+  eval_train_cfg = train_cfg.replace(
+      restore=os.path.join(train_cfg.results, 'full_test'))
+  ev = exp_lib.EvalExperiment('full', model_cfg, eval_train_cfg, data_cfg,
+                              splits=['valid'])
+  total = 0
+  for ds, raw, outputs in ev.iterate_split('valid', batch_size=2):
+    assert outputs['y_out'].shape[1:] == (6, 32, 32)
+    assert 'idx_map' in raw
+    total += outputs['y_out'].shape[0]
+  assert total == ds.get_dataset_size()
+
+
+def test_saver_pytree_roundtrip(tmp_path):
+  tree = {'a': np.arange(5.0), 'b': [np.ones((2, 2)), np.zeros(3)]}
+  path = str(tmp_path / 'x.npz')
+  save_pytree(path, tree)
+  like = {'a': np.zeros(5), 'b': [np.zeros((2, 2)), np.ones(3)]}
+  out = load_pytree(path, like)
+  np.testing.assert_allclose(out['a'], tree['a'])
+  np.testing.assert_allclose(out['b'][0], tree['b'][0])
+
+
+def test_saver_max_to_keep(tmp_path):
+  saver = Saver(str(tmp_path / 'run'), max_to_keep=2)
+  for s in (1, 2, 3, 4):
+    saver.save({'x': np.array([s])}, s)
+  steps = [s for s, _ in saver.list_ckpts()]
+  assert steps == [3, 4]
+  tree, step = saver.restore({'x': np.zeros(1)})
+  assert step == 4 and tree['x'][0] == 4
