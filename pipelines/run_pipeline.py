@@ -1,0 +1,156 @@
+#!/usr/bin/env python
+"""Three-stage training pipelines.
+
+Capability twin of the reference's ``run_cvppp.sh`` / ``run_kitti.sh`` /
+``run_cityscapes.sh``: chains fg -> pack -> box -> read-weights -> full ->
+eval as one driver, with the canonical hyperparameters from the shell
+scripts baked into config presets (rec_attend_tpu/config.py).
+
+Usage:
+  python pipelines/run_pipeline.py --dataset cvppp [--scale tiny]
+  python pipelines/run_pipeline.py --dataset kitti
+  python pipelines/run_pipeline.py --dataset synth --scale tiny
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))))
+
+from rec_attend_tpu import config as C
+from rec_attend_tpu.cli import eval as eval_cli
+from rec_attend_tpu.cli import pack as pack_cli
+from rec_attend_tpu.cli import read_weights
+from rec_attend_tpu.engine.experiment import (TrainingExperiment,
+                                              EvalExperiment,
+                                              assign_model_id)
+from rec_attend_tpu.utils import logger
+
+
+def run_cvppp(args):
+  """ref run_cvppp.sh: box pretrain (60k) -> full (30k) -> eval."""
+  log = logger.get()
+  model_id = assign_model_id()
+  box_id = f'box_model_cvppp-{model_id}'
+  full_id = f'full_model_cvppp-{model_id}'
+  data_cfg = C.data_config_for('cvppp', args.dataset_folder)
+
+  box_cfg = C.cvppp_box_config()
+  box_steps = 60000 if args.scale == 'paper' else args.num_steps
+  full_steps = 30000 if args.scale == 'paper' else args.num_steps
+  bs = 5
+
+  train_cfg = C.TrainConfig(model_id=box_id, num_steps=box_steps,
+                            batch_size=bs, save_ckpt=True,
+                            results=args.results, logs=args.logs)
+  TrainingExperiment('box', box_cfg, train_cfg, data_cfg).run()
+  weights = read_weights.box_main(
+      ['--model_id', box_id, '--results', args.results])
+
+  full_cfg = C.cvppp_full_config().replace(pretrain_ctrl_net=weights)
+  train_cfg = train_cfg.replace(model_id=full_id, num_steps=full_steps)
+  TrainingExperiment('full', full_cfg, train_cfg, data_cfg).run()
+
+  eval_cli.full_main(['--model_id', full_id, '--results', args.results,
+                      '--dataset', 'cvppp', '--split', 'valid',
+                      '--batch_size', str(bs)]
+                     + (['--dataset_folder', args.dataset_folder]
+                        if args.dataset_folder else []))
+  log.info(f'Pipeline done: {full_id}')
+
+
+def run_kitti(args):
+  """ref run_kitti.sh: fg (40k) -> pack -> box (60k) -> full (100k)."""
+  log = logger.get()
+  model_id = assign_model_id()
+  fg_id = f'fg_model_kitti-{model_id}'
+  box_id = f'box_model_kitti-{model_id}'
+  full_id = f'full_model_kitti-{model_id}'
+  data_cfg = C.data_config_for('kitti', args.dataset_folder)
+  paper = args.scale == 'paper'
+
+  fg_cfg = C.kitti_fg_config()
+  train_cfg = C.TrainConfig(model_id=fg_id,
+                            num_steps=40000 if paper else args.num_steps,
+                            batch_size=8, save_ckpt=True,
+                            results=args.results, logs=args.logs)
+  TrainingExperiment('fg', fg_cfg, train_cfg, data_cfg).run()
+  pack_cli.fg_main(['--model_id', fg_id, '--results', args.results,
+                    '--dataset', 'kitti', '--split', 'train,valid'])
+
+  box_cfg = C.kitti_box_config()
+  train_cfg = train_cfg.replace(model_id=box_id, batch_size=5,
+                                num_steps=60000 if paper else args.num_steps)
+  TrainingExperiment('box', box_cfg, train_cfg, data_cfg).run()
+  weights = read_weights.box_main(
+      ['--model_id', box_id, '--results', args.results])
+
+  full_cfg = C.kitti_full_config().replace(pretrain_ctrl_net=weights)
+  train_cfg = train_cfg.replace(
+      model_id=full_id, batch_size=2,
+      num_steps=100000 if paper else args.num_steps)
+  TrainingExperiment('full', full_cfg, train_cfg, data_cfg).run()
+  eval_cli.full_main(['--model_id', full_id, '--results', args.results,
+                      '--dataset', 'kitti', '--split', 'valid'])
+  log.info(f'Pipeline done: {full_id}')
+
+
+def run_synth(args):
+  """Tiny end-to-end smoke pipeline on the synthetic dataset."""
+  log = logger.get()
+  model_id = assign_model_id()
+  box_id = f'box_model_synth-{model_id}'
+  full_id = f'full_model_synth-{model_id}'
+  data_cfg = C.data_config_for('synth', args.dataset_folder)
+
+  box_cfg = C.tiny_box_config(timespan=6)
+  train_cfg = C.TrainConfig(model_id=box_id, num_steps=args.num_steps,
+                            batch_size=4, save_ckpt=True,
+                            results=args.results, logs=args.logs,
+                            steps_per_valid=max(args.num_steps // 2, 1),
+                            steps_per_trainval=max(args.num_steps // 2, 1),
+                            steps_per_plot=0)
+  TrainingExperiment('box', box_cfg, train_cfg, data_cfg).run()
+  weights = read_weights.box_main(
+      ['--model_id', box_id, '--results', args.results])
+
+  full_cfg = C.tiny_full_config(timespan=6, use_knob=True,
+                                pretrain_ctrl_net=weights)
+  train_cfg = train_cfg.replace(model_id=full_id)
+  TrainingExperiment('full', full_cfg, train_cfg, data_cfg).run()
+  eval_cli.full_main(['--model_id', full_id, '--results', args.results,
+                      '--dataset', 'synth', '--split', 'valid',
+                      '--batch_size', '4']
+                     + (['--dataset_folder', args.dataset_folder]
+                        if args.dataset_folder else []))
+  log.info(f'Pipeline done: {full_id}')
+
+
+def main():
+  parser = argparse.ArgumentParser()
+  parser.add_argument('--dataset', default='cvppp',
+                      choices=['cvppp', 'kitti', 'cityscapes', 'synth'])
+  parser.add_argument('--dataset_folder', default=None)
+  parser.add_argument('--results', default='results')
+  parser.add_argument('--logs', default='logs')
+  parser.add_argument('--scale', default='paper', choices=['paper', 'tiny'])
+  parser.add_argument('--num_steps', default=100, type=int,
+                      help='steps per stage when --scale tiny')
+  args = parser.parse_args()
+  if args.dataset == 'cvppp':
+    run_cvppp(args)
+  elif args.dataset == 'kitti':
+    run_kitti(args)
+  elif args.dataset == 'synth':
+    run_synth(args)
+  else:
+    raise NotImplementedError(
+        'cityscapes pipeline: use run_kitti stages + cityscapes_eval')
+
+
+if __name__ == '__main__':
+  main()

@@ -1,0 +1,198 @@
+"""Eval CLIs: instance eval with the postprocess+analyzer pipeline and FG
+eval at original sizes.
+
+Capability twins of ``full_model_eval.py`` and ``fg_model_eval.py``: the
+postprocess chain confidence -> upsample -> [morph] -> one-label ->
+threshold sweep -> [fg-mask, remove-tiny] -> analyzers
+(full_model_eval.py:97-145), with knob forced off for eval
+(full_model_eval.py:172-174 — our eval forward pass never mixes GT).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import cv2
+import numpy as np
+
+from rec_attend_tpu import analysis
+from rec_attend_tpu.cli import args as A
+from rec_attend_tpu.engine.experiment import EvalExperiment
+from rec_attend_tpu.utils import logger
+from rec_attend_tpu.utils import postprocess as pp
+
+DEFAULT_ANALYZERS = ['sbd', 'wt_cov', 'unwt_cov', 'avg_fp', 'avg_fn',
+                     'avg_pr', 'avg_re', 'obj_pr', 'obj_re', 'count_acc',
+                     'count_mse', 'dic', 'dic_abs']
+
+
+def eval_split(exp, split, output_folder, threshold_list, analyzer_names,
+               foreground_folder=None, no_morph=False, remove_tiny=0,
+               render_output=True, render_gt=False, batch_size=None):
+  """Run the instance eval pipeline over one split; returns
+  {threshold: {analyzer: (mean, std)}}."""
+  log = logger.get()
+  os.makedirs(output_folder, exist_ok=True)
+
+  analyzer_sets = []
+  for tt in threshold_list:
+    _analyzers = []
+    suffix = f' {tt:.2f}'
+    thresh_folder = f'{int(tt * 100):02d}'
+    for name in analyzer_names:
+      fname = os.path.join(output_folder, f'{name}.csv')
+      _analyzers.append(analysis.create_analyzer(
+          name, display_name=name + suffix, fname=fname))
+    if render_output:
+      _analyzers.append(analysis.RenderInstanceAnalyzer(
+          os.path.join(output_folder, thresh_folder), None))
+    analyzer_sets.append(_analyzers)
+  gt_render = (analysis.RenderGroundtruthInstanceAnalyzer(
+      os.path.join(output_folder, 'gt'), None) if render_gt else None)
+
+  for ds, raw, outputs in exp.iterate_split(split, batch_size=batch_size):
+    for aset in analyzer_sets:
+      for a in aset:
+        if hasattr(a, 'dataset'):
+          a.dataset = ds
+    if gt_render is not None:
+      gt_render.dataset = ds
+    y_out = outputs['y_out']
+    s_out = outputs['s_out']
+    if s_out.ndim == 3:
+      s_out = s_out[:, :, 0]
+    idx_map = raw['idx_map']
+    y_gt_h = ds.get_full_size_labels(idx_map, timespan=y_out.shape[1])
+
+    y_out, s_out = pp.apply_confidence(y_out, s_out)
+    fg = _read_foreground(foreground_folder, ds, idx_map)
+    y_out = pp.upsample(y_out, y_gt_h)
+    if fg is not None and not no_morph:
+      y_out = pp.morph(y_out)
+    y_out = pp.apply_one_label(y_out)
+    for tt, thresh in enumerate(threshold_list):
+      y_out_thresh = pp.apply_threshold(y_out, thresh)
+      s_out_t = s_out.copy()
+      if fg is not None:
+        y_out_thresh = pp.mask_foreground(y_out_thresh, fg)
+        y_out_thresh, s_out_t = pp.remove_tiny(y_out_thresh, s_out_t,
+                                               threshold=remove_tiny)
+      iou_pairwise = [analysis.f_iou_pairwise(a, b)
+                      for a, b in zip(y_out_thresh, y_gt_h)]
+      results_thresh = {
+          'y_out': y_out_thresh, 'y_gt': y_gt_h, 's_out': s_out_t,
+          's_gt': raw['s_gt'], 'iou_pairwise': iou_pairwise,
+          'indices': list(idx_map),
+      }
+      for a in analyzer_sets[tt]:
+        a.stage(results_thresh)
+      if gt_render is not None and tt == len(threshold_list) - 1:
+        gt_render.stage(results_thresh)
+
+  summary = {}
+  for tt, thresh in enumerate(threshold_list):
+    summary[thresh] = {}
+    for a in analyzer_sets[tt]:
+      r = a.finalize()
+      if r is not None and hasattr(a, 'func' if False else 'name'):
+        summary[thresh][a.name] = r
+  return summary
+
+
+def _read_foreground(folder, dataset, idx_map):
+  if folder is None:
+    return None
+  fg = []
+  for ii in idx_map:
+    fname = os.path.join(folder, dataset.get_fname(ii))
+    img = cv2.imread(fname)
+    if img is None:
+      raise FileNotFoundError(fname)
+    fg.append(img.astype('float32').max(axis=2) / 255.0)
+  return fg
+
+
+def full_main(argv=None):
+  parser = argparse.ArgumentParser(description='Evaluate full model')
+  A.add_eval_args(parser)
+  A.add_data_args(parser)
+  parser.add_argument('--foreground_folder', default=None)
+  parser.add_argument('--threshold_list', default=None)
+  parser.add_argument('--analyzers', default=None)
+  parser.add_argument('--test', action='store_true')
+  parser.add_argument('--no_morph', action='store_true')
+  parser.add_argument('--remove_tiny', default=0, type=int)
+  args = parser.parse_args(argv)
+  log = logger.get()
+  log.log_args()
+
+  if args.threshold_list is None:
+    threshold_list = [0.3]
+  else:
+    threshold_list = [float(t) for t in args.threshold_list.split(',')]
+  if args.analyzers is None:
+    analyzer_names = [] if args.test else DEFAULT_ANALYZERS
+  else:
+    analyzer_names = args.analyzers.split(',') if args.analyzers else []
+
+  from rec_attend_tpu import config as C
+  restore = os.path.join(args.results, args.model_id)
+  model_cfg = C.FullModelConfig.from_dict(
+      __import__('yaml').safe_load(
+          open(os.path.join(restore, 'model_opt.yaml'))))
+  model_cfg = model_cfg.replace(use_knob=False)
+  train_cfg = C.TrainConfig(restore=restore, batch_size=args.batch_size,
+                            results=args.results)
+  data_cfg = A.make_data_config(args)
+
+  exp = EvalExperiment('full', model_cfg, train_cfg, data_cfg,
+                       splits=args.split.split(','))
+  for split in args.split.split(','):
+    out_folder = (args.output or
+                  os.path.join(restore, f'output_{split}'))
+    eval_split(exp, split, out_folder, threshold_list, analyzer_names,
+               foreground_folder=args.foreground_folder,
+               no_morph=args.no_morph, remove_tiny=args.remove_tiny)
+  return exp
+
+
+def fg_main(argv=None):
+  """FG eval: render thresholded foreground/orientation at original sizes
+  (ref fg_model_eval.py:134-178)."""
+  parser = argparse.ArgumentParser(description='Evaluate fg model')
+  A.add_eval_args(parser)
+  A.add_data_args(parser)
+  parser.add_argument('--threshold_list', default='0.5')
+  args = parser.parse_args(argv)
+
+  from rec_attend_tpu import config as C
+  restore = os.path.join(args.results, args.model_id)
+  model_cfg = C.FGModelConfig.from_dict(
+      __import__('yaml').safe_load(
+          open(os.path.join(restore, 'model_opt.yaml'))))
+  train_cfg = C.TrainConfig(restore=restore, batch_size=args.batch_size,
+                            results=args.results)
+  data_cfg = A.make_data_config(args)
+  thresholds = [float(t) for t in args.threshold_list.split(',')]
+
+  exp = EvalExperiment('fg', model_cfg, train_cfg, data_cfg,
+                       splits=args.split.split(','))
+  for split in args.split.split(','):
+    out_base = args.output or os.path.join(restore, 'output')
+    for ds, raw, outputs in exp.iterate_split(split):
+      y_out = outputs['y_out'][..., 0] if outputs['y_out'].shape[-1] == 1 \
+          else outputs['y_out'].max(axis=-1)
+      idx_map = raw['idx_map']
+      orig = raw.get('orig_size')
+      for thresh in thresholds:
+        folder = os.path.join(out_base, f'{int(thresh * 100):02d}')
+        os.makedirs(folder, exist_ok=True)
+        for ii, idx in enumerate(idx_map):
+          y = y_out[ii]
+          if orig is not None:
+            y = cv2.resize(y, (int(orig[ii][1]), int(orig[ii][0])),
+                           interpolation=cv2.INTER_LINEAR)
+          y_bin = ((y > thresh) * 255).astype('uint8')
+          cv2.imwrite(os.path.join(folder, ds.get_fname(idx)), y_bin)
+  return exp

@@ -90,6 +90,9 @@ class Cityscapes(InsSegDataset):
   def get_str_id(self, idx):
     return str(idx)
 
+  def get_fname(self, idx):
+    return f'{self.get_str_id(idx)}_gtFine_instanceIds.png'
+
   def get_num_semantic_classes(self):
     return 8
 

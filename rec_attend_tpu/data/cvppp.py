@@ -89,5 +89,9 @@ class CVPPP(InsSegDataset):
     s = str(idx)
     return f'plant{int(s):03d}' if s.isdigit() else s
 
+  def get_fname(self, idx, fg=False):
+    sid = self.get_str_id(idx)
+    return f'{sid}_fg.png' if fg else f'{sid}_label.png'
+
   def get_default_timespan(self):
     return 21

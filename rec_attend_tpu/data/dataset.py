@@ -40,6 +40,10 @@ class InsSegDataset:
   def get_str_id(self, idx):
     return str(idx)
 
+  def get_fname(self, idx):
+    """Output image filename for renderers (overridden per dataset)."""
+    return f'{self.get_str_id(idx)}.png'
+
   def get_dataset_size(self):
     return len(self.img_ids)
 

@@ -60,5 +60,8 @@ class KITTI(InsSegDataset):
     s = str(idx)
     return f'{int(s):06d}' if s.isdigit() else s
 
+  def get_fname(self, idx):
+    return f'{self.get_str_id(idx)}.png'
+
   def get_default_timespan(self):
     return 20
