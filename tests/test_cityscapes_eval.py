@@ -1,0 +1,145 @@
+"""Cityscapes official-eval tests: AP algorithm oracle cases, pixel IoU via
+the native confusion kernel, end-to-end txt/PNG submission parsing."""
+
+import os
+
+import cv2
+import numpy as np
+import pytest
+
+from rec_attend_tpu.eval_cityscapes import instance_eval as IE
+from rec_attend_tpu.eval_cityscapes.pixel_eval import PixelEvaluator
+
+
+def _write_case(tmp_path, preds):
+  """Build one gt image (two cars id 26001/26002 + a void strip) and a
+  prediction txt with the given (mask, conf) list."""
+  h = w = 128
+  gt = np.zeros((h, w), np.int32)
+  gt[:, :8] = 4                  # 'static' -> void/ignore
+  gt[20:60, 20:60] = 26001       # car instance, 1600 px
+  gt[70:110, 70:110] = 26002     # car instance, 1600 px
+  gt_file = str(tmp_path / 'frankfurt_000000_000001_gtFine_instanceIds.png')
+  cv2.imwrite(gt_file, gt.astype(np.uint16))
+
+  pred_dir = tmp_path / 'preds' / 'frankfurt'
+  os.makedirs(pred_dir, exist_ok=True)
+  txt = pred_dir / 'frankfurt_000000_000001_pred.txt'
+  with open(txt, 'w') as f:
+    for i, (mask, label_id, conf) in enumerate(preds):
+      name = f'mask_{i:03d}.png'
+      cv2.imwrite(str(pred_dir / name), (mask * 255).astype(np.uint8))
+      f.write(f'{name} {label_id} {conf}\n')
+  return str(txt), gt_file
+
+
+def test_ap_perfect_predictions(tmp_path):
+  h = w = 128
+  m1 = np.zeros((h, w), np.uint8)
+  m1[20:60, 20:60] = 1
+  m2 = np.zeros((h, w), np.uint8)
+  m2[70:110, 70:110] = 1
+  txt, gt = _write_case(tmp_path, [(m1, 26, 0.9), (m2, 26, 0.8)])
+  avg = IE.evaluate_instance_predictions([txt], [gt], quiet=True)
+  np.testing.assert_allclose(avg['allAp'], 1.0)
+  np.testing.assert_allclose(avg['allAp50%'], 1.0)
+  np.testing.assert_allclose(avg['classes']['car']['ap'], 1.0)
+
+
+def test_ap_half_matched_with_fp(tmp_path):
+  """One perfect match (conf .9), one disjoint FP (conf .8), one missed gt:
+  hand-computed AP = 0.5 at every overlap."""
+  h = w = 128
+  m1 = np.zeros((h, w), np.uint8)
+  m1[20:60, 20:60] = 1
+  fp = np.zeros((h, w), np.uint8)
+  fp[10:40, 90:120] = 1          # overlaps neither gt nor void
+  txt, gt = _write_case(tmp_path, [(m1, 26, 0.9), (fp, 26, 0.8)])
+  avg = IE.evaluate_instance_predictions([txt], [gt], quiet=True)
+  np.testing.assert_allclose(avg['allAp'], 0.5, atol=1e-6)
+  np.testing.assert_allclose(avg['classes']['car']['ap50%'], 0.5, atol=1e-6)
+
+
+def test_ap_void_overlapping_fp_is_ignored(tmp_path):
+  """A false positive mostly inside the void strip must be ignored."""
+  h = w = 128
+  m1 = np.zeros((h, w), np.uint8)
+  m1[20:60, 20:60] = 1
+  m2 = np.zeros((h, w), np.uint8)
+  m2[70:110, 70:110] = 1
+  void_fp = np.zeros((h, w), np.uint8)
+  void_fp[0:30, 0:8] = 1         # fully inside the void strip
+  txt, gt = _write_case(tmp_path,
+                        [(m1, 26, 0.9), (m2, 26, 0.85), (void_fp, 26, 0.8)])
+  avg = IE.evaluate_instance_predictions([txt], [gt], quiet=True)
+  np.testing.assert_allclose(avg['allAp'], 1.0)
+
+
+def test_ap_low_overlap_drops_at_high_threshold(tmp_path):
+  """A 60%-IoU match counts at overlap 0.5/0.55 but not at 0.9."""
+  h = w = 128
+  m1 = np.zeros((h, w), np.uint8)
+  m1[20:60, 20:52] = 1           # 40x32 inside the 40x40 gt: IoU = 0.8
+  m2 = np.zeros((h, w), np.uint8)
+  m2[70:110, 70:110] = 1
+  txt, gt = _write_case(tmp_path, [(m1, 26, 0.9), (m2, 26, 0.8)])
+  avg = IE.evaluate_instance_predictions([txt], [gt], quiet=True)
+  # IoU=0.8: matched for overlaps < 0.8 (7 of 10), unmatched above.
+  assert avg['allAp50%'] == pytest.approx(1.0)
+  assert 0.5 < avg['allAp'] < 1.0
+
+
+def test_gt_instance_extraction():
+  gt = np.zeros((32, 32), np.int64)
+  gt[0:8, 0:8] = 26001
+  gt[10:18, 10:18] = 24003
+  gt[20:22, 20:22] = 26          # car group region
+  inst = IE.get_gt_instances(gt)
+  assert len(inst['car']) == 2   # instance + group
+  assert len(inst['person']) == 1
+  ids = sorted(i['instID'] for i in inst['car'])
+  assert ids == [26, 26001]
+
+
+def test_pixel_evaluator():
+  ev = PixelEvaluator()
+  gt = np.full((64, 64), 7, np.uint8)     # road
+  gt[:32] = 26                            # car
+  pred = gt.copy()
+  pred[:8] = 7                            # misslabel some car as road
+  ev.add_pair(pred, gt)
+  result = ev.finalize()
+  np.testing.assert_allclose(result['classes']['car'], 24 / 32)
+  # road FP includes the 8 rows of mislabelled car
+  np.testing.assert_allclose(result['classes']['road'],
+                             32 / (32 + 8))
+
+
+def test_submission_roundtrip_with_renderer(tmp_path):
+  """The analysis writer's output parses through the official evaluator."""
+  from rec_attend_tpu import analysis
+
+  class FakeDS:
+    def get_fname(self, idx):
+      return f'{idx}_gtFine_instanceIds.png'
+
+  h = w = 128
+  gt = np.zeros((h, w), np.int32)
+  gt[20:60, 20:60] = 26001
+  gt_file = str(tmp_path / 'gt' / 'frankfurt_000000_000001_'
+                'gtFine_instanceIds.png')
+  os.makedirs(os.path.dirname(gt_file), exist_ok=True)
+  cv2.imwrite(gt_file, gt.astype(np.uint16))
+
+  seg = np.zeros((1, h, w), np.float32)
+  seg[0, 20:60, 20:60] = 1
+  fg = np.zeros((h, w, 9), np.float32)
+  fg[..., 3] = 1.0               # car channel
+  out_folder = str(tmp_path / 'out')
+  writer = analysis.RenderCityScapesOutputAnalyzer(out_folder, FakeDS())
+  writer.stage({'y_out': [seg], 'y_in': [fg],
+                'conf': np.array([[0.95]]),
+                'indices': ['frankfurt_000000_000001']})
+  txt = IE.find_prediction_file(gt_file, out_folder)
+  avg = IE.evaluate_instance_predictions([txt], [gt_file], quiet=True)
+  np.testing.assert_allclose(avg['allAp'], 1.0)
