@@ -29,7 +29,9 @@ def main():
   from rec_attend_tpu import config
   from rec_attend_tpu.models import full_model
 
-  cfg = config.cvppp_full_config().replace(use_knob=False)
+  # use_pallas: fused glimpse kernels (ops/pallas/glimpse.py) measured
+  # slightly ahead of the einsum path end-to-end on v5e.
+  cfg = config.cvppp_full_config().replace(use_knob=False, use_pallas=True)
   batch = 8
   key = jax.random.PRNGKey(0)
   params = full_model.init_full_model(key, cfg)
@@ -51,7 +53,7 @@ def main():
   out = fwd(params, b, key)
   jax.block_until_ready(out)
 
-  iters = 10
+  iters = 50
   t0 = time.perf_counter()
   for i in range(iters):
     out = fwd(params, b, jax.random.fold_in(key, i))

@@ -277,6 +277,12 @@ def full_model_forward(params, batch, cfg: FullModelConfig, train: bool,
   attn_box_beta = -5.0
   y_out_beta = -5.0
 
+  if cfg.use_pallas:
+    from rec_attend_tpu.ops.pallas import glimpse as glimpse_k
+    extract_fn, paste_fn = glimpse_k.extract_patch, glimpse_k.paste_patch
+  else:
+    extract_fn, paste_fn = attention.extract_patch, attention.paste_patch
+
   skip_rev = list(cfg.resolved_attn_cnn_skip())[::-1]
 
   # scan xs: per-timestep BN stacks + per-timestep GT/knob slices + keys
@@ -369,7 +375,7 @@ def full_model_forward(params, batch, cfg: FullModelConfig, train: bool,
         attn_ctr[:, 0], attn_size[:, 0], attn_lg_var[:, 0], H, FH)
     f_x = attention.get_gaussian_filter(
         attn_ctr[:, 1], attn_size[:, 1], attn_lg_var[:, 1], W, FW)
-    attn_box = attention.paste_patch(const_ones * attn_box_gamma, f_y, f_x)
+    attn_box = paste_fn(const_ones * attn_box_gamma, f_y, f_x)
     attn_box = jax.nn.sigmoid(attn_box + attn_box_beta)[..., 0]  # [B, H, W]
 
     # Soft box IoU vs GT (pre-mix), used by both knob mixing and box loss.
@@ -412,7 +418,7 @@ def full_model_forward(params, batch, cfg: FullModelConfig, train: bool,
         attn_ctr[:, 1], attn_size[:, 1], attn_lg_var[:, 1], W, FW)
 
     # Glimpse crop (ref full_model.py:788).
-    x_patch = attn_gamma * attention.extract_patch(acnn_inp, f_y, f_x)
+    x_patch = attn_gamma * extract_fn(acnn_inp, f_y, f_x)
 
     # Attention CNN.
     acnn_params = _overlay_bn(params['attn_cnn'], xt['acnn_bn'])
@@ -437,7 +443,7 @@ def full_model_forward(params, batch, cfg: FullModelConfig, train: bool,
     y_out_patch = h_adcnn[-1]                               # [B, FH, FW, 1]
 
     # Paste mask back to full resolution (ref full_model.py:810-818).
-    y_out = attention.paste_patch(y_out_patch, f_y, f_x)
+    y_out = paste_fn(y_out_patch, f_y, f_x)
     y_out = jax.nn.sigmoid(jnp.exp(y_out_lg_gamma).reshape(B, 1, 1, 1)
                            * y_out + y_out_beta)
     if cfg.disable_overwrite:
