@@ -192,6 +192,8 @@ class FullModelConfig(_ConfigBase):
   dtype: str = 'float32'          # compute dtype for conv/matmul paths
   remat: bool = False             # jax.checkpoint the per-timestep body
   use_pallas: bool = False        # fused Pallas glimpse kernels
+  parallel_decode: Optional[bool] = None  # vmap timesteps when independent
+                                          # (None = auto-detect)
 
   # ---- derived helpers -----------------------------------------------
 

@@ -325,13 +325,19 @@ class EvalExperiment(ExperimentBase):
             p, b, cfg, train, key), model_cfg, mesh=mesh)
 
   def iterate_split(self, split, batch_size=None, variables=None,
-                    timespan=None):
-    """Yields (raw_batch, outputs) over one split, unshuffled, no cycling."""
+                    timespan=None, start_idx=-1, end_idx=-1):
+    """Yields (raw_batch, outputs) over one split, unshuffled, no cycling.
+
+    start_idx/end_idx restrict to a sub-range (ref evaluation.py:33-49's
+    OneTimeEvalBase partial-range pass)."""
     ds = self.get_dataset(split)
     bs = batch_size or self.train_cfg.batch_size
     timespan = timespan or getattr(self.model_cfg, 'timespan', None)
-    it = BatchIterator(ds.get_dataset_size(), batch_size=bs, cycle=False,
-                       shuffle=False)
+    n = ds.get_dataset_size()
+    lo = start_idx if start_idx >= 0 else 0
+    hi = end_idx if end_idx >= 0 else n
+    it = ((np.arange(lo + i, min(lo + i + bs, hi)))
+          for i in range(0, hi - lo, bs))
     for idx in it:
       raw = ds.get_batch(idx, timespan=timespan,
                          variables=self.variables | {'idx_map', 'orig_size'})

@@ -283,6 +283,10 @@ def full_model_forward(params, batch, cfg: FullModelConfig, train: bool,
   else:
     extract_fn, paste_fn = attention.extract_patch, attention.paste_patch
 
+  # Compute dtype for the conv/matmul stacks (bf16 MXU path); attention
+  # geometry, losses and BN statistics stay f32.
+  cdt = jnp.bfloat16 if cfg.dtype == 'bfloat16' else jnp.float32
+
   skip_rev = list(cfg.resolved_attn_cnn_skip())[::-1]
 
   # scan xs: per-timestep BN stacks + per-timestep GT/knob slices + keys
@@ -317,7 +321,7 @@ def full_model_forward(params, batch, cfg: FullModelConfig, train: bool,
       ccnn_inp_list.append(y_in)
     if flags['attn_add_y_out']:
       acnn_inp_list.append(y_in)
-    ccnn_inp = jnp.concatenate(ccnn_inp_list, axis=3)
+    ccnn_inp = jnp.concatenate(ccnn_inp_list, axis=3).astype(cdt)
     acnn_inp = jnp.concatenate(acnn_inp_list, axis=3)
 
     # Controller CNN with this timestep's BN copy.
@@ -343,7 +347,8 @@ def full_model_forward(params, batch, cfg: FullModelConfig, train: bool,
       if tt2 < cfg.num_ctrl_rnn_iter - 1:
         glimpse_map = h_gmlp[-1][:, :, None]
 
-    ctrl_out = nn.apply_mlp(params['ctrl_mlp'], h_crnn, cmlp_act)[-1]
+    ctrl_out = nn.apply_mlp(params['ctrl_mlp'], h_crnn,
+                            cmlp_act)[-1].astype(jnp.float32)
 
     # 9-dof controller output (ref full_model.py:691-722).
     attn_ctr_norm = ctrl_out[:, 0:2]
@@ -420,16 +425,16 @@ def full_model_forward(params, batch, cfg: FullModelConfig, train: bool,
     # Glimpse crop (ref full_model.py:788).
     x_patch = attn_gamma * extract_fn(acnn_inp, f_y, f_x)
 
-    # Attention CNN.
+    # Attention CNN (compute dtype).
     acnn_params = _overlay_bn(params['attn_cnn'], xt['acnn_bn'])
     h_acnn, new_acnn_bn = nn.apply_cnn(
-        acnn_params, x_patch, cfg.attn_cnn_pool, acnn_act, train)
+        acnn_params, x_patch.astype(cdt), cfg.attn_cnn_pool, acnn_act, train)
     h_acnn_last = h_acnn[-1]
     h_core = h_acnn_last.reshape(B, cfg.core_dim)
 
     # DCNN with skip connections (ref full_model.py:798-807).
     if cfg.add_skip_conn:
-      h_rev = h_acnn[::-1][1:] + [x_patch]
+      h_rev = h_acnn[::-1][1:] + [x_patch.astype(cdt)]
       adcnn_skip = [None]
       for sk, hc in zip(skip_rev, h_rev):
         adcnn_skip.append(hc if sk else None)
@@ -440,7 +445,7 @@ def full_model_forward(params, batch, cfg: FullModelConfig, train: bool,
     h_adcnn, new_adcnn_bn = nn.apply_dcnn(
         adcnn_params, h_acnn_last, cfg.attn_dcnn_pool, adcnn_act, train,
         skip=adcnn_skip)
-    y_out_patch = h_adcnn[-1]                               # [B, FH, FW, 1]
+    y_out_patch = h_adcnn[-1].astype(jnp.float32)           # [B, FH, FW, 1]
 
     # Paste mask back to full resolution (ref full_model.py:810-818).
     y_out = paste_fn(y_out_patch, f_y, f_x)
@@ -452,7 +457,8 @@ def full_model_forward(params, batch, cfg: FullModelConfig, train: bool,
 
     # Score (ref full_model.py:820-822).
     smlp_inp = jnp.concatenate([h_crnn, h_core], axis=1)
-    s_out = nn.apply_mlp(params['score_mlp'], smlp_inp, smlp_act)[-1][:, 0]
+    s_out = nn.apply_mlp(params['score_mlp'], smlp_inp,
+                         smlp_act)[-1][:, 0].astype(jnp.float32)
 
     # Knob: mix GT segmentation into the canvas (ref full_model.py:826-848).
     if cfg.use_knob and train:
@@ -499,7 +505,24 @@ def full_model_forward(params, batch, cfg: FullModelConfig, train: bool,
     body = jax.checkpoint(body)
 
   canvas0 = jnp.zeros((B, H, W, 1))
-  canvas, ys = jax.lax.scan(body, canvas0, xs)
+
+  # Parallel decode (SURVEY §5.7c): when neither net sees the canvas and
+  # outputs are not canvas-masked, the T timesteps are independent — decode
+  # them all at once with vmap instead of a serial scan.  This is the
+  # batched-recurrent-eval fast path for the ctrl_add_canvas=False configs
+  # (ref full_model.py:140-149 exposes those flags; the reference still ran
+  # serially).
+  independent = (not flags['ctrl_add_canvas']
+                 and not flags['attn_add_canvas']
+                 and not cfg.disable_overwrite
+                 and not (cfg.use_knob and train))
+  use_parallel = (cfg.parallel_decode if cfg.parallel_decode is not None
+                  else independent)
+  if use_parallel and independent:
+    canvas_t, ys = jax.vmap(body, in_axes=(None, 0))(canvas0, xs)
+    canvas = jnp.max(canvas_t, axis=0)
+  else:
+    canvas, ys = jax.lax.scan(body, canvas0, xs)
 
   # Move the scan axis back to position 1: [T, B, ...] -> [B, T, ...].
   def t_to_batch(a):

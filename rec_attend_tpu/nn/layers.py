@@ -47,11 +47,16 @@ def trunc_normal(key, shape, stddev=0.01, dtype=jnp.float32):
 # ---------------------------------------------------------------------------
 
 def conv2d(x, w, stride=1):
-  """SAME 2-D convolution, NHWC x HWIO (ref nnlib.py:6-12)."""
+  """SAME 2-D convolution, NHWC x HWIO (ref nnlib.py:6-12).
+
+  Weights follow the activation dtype (bf16 activations -> bf16 MXU matmul
+  with f32 accumulation via preferred_element_type)."""
+  # No explicit preferred_element_type: with both operands cast to the
+  # activation dtype the VJP stays dtype-consistent, and the TPU MXU
+  # accumulates bf16 matmuls in f32 regardless.
   return jax.lax.conv_general_dilated(
-      x, w, window_strides=(stride, stride), padding='SAME',
-      dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
-      preferred_element_type=jnp.float32)
+      x, w.astype(x.dtype), window_strides=(stride, stride), padding='SAME',
+      dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
 
 
 def conv2d_transpose(x, w, stride):
@@ -64,10 +69,9 @@ def conv2d_transpose(x, w, stride):
   # exactly the 'HWIO' spec of the corresponding *forward* conv whose
   # gradient this computes.
   return jax.lax.conv_transpose(
-      x, w, strides=(stride, stride), padding='SAME',
+      x, w.astype(x.dtype), strides=(stride, stride), padding='SAME',
       dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
-      transpose_kernel=True,
-      preferred_element_type=jnp.float32)
+      transpose_kernel=True)
 
 
 def max_pool(x, ratio):
@@ -131,9 +135,11 @@ def apply_batch_norm(x, bn, train):
     (normed, new_bn) — new_bn has updated EMA when training.
   """
   axes = tuple(range(x.ndim - 1))
+  in_dtype = x.dtype
+  xf = x.astype(jnp.float32)   # moments and EMA always in f32
   if train:
-    mean = jnp.mean(x, axis=axes)
-    var = jnp.var(x, axis=axes)
+    mean = jnp.mean(xf, axis=axes)
+    var = jnp.var(xf, axis=axes)
     new_ema_mean = BN_DECAY * bn['ema_mean'] + (1 - BN_DECAY) * mean
     new_ema_var = BN_DECAY * bn['ema_var'] + (1 - BN_DECAY) * var
     new_bn = dict(bn, ema_mean=new_ema_mean, ema_var=new_ema_var)
@@ -141,8 +147,8 @@ def apply_batch_norm(x, bn, train):
     mean, var = bn['ema_mean'], bn['ema_var']
     new_bn = bn
   inv = jax.lax.rsqrt(var + BN_EPS)
-  normed = (x - mean) * inv * bn['gamma'] + bn['beta']
-  return normed, new_bn
+  normed = (xf - mean) * inv * bn['gamma'] + bn['beta']
+  return normed.astype(in_dtype), new_bn
 
 
 # ---------------------------------------------------------------------------
@@ -188,7 +194,7 @@ def apply_cnn(params, x, pool: Sequence[int], act: Sequence,
   h_list = []
   new_bns = []
   for i, layer in enumerate(params):
-    h = conv2d(h, layer['w']) + layer['b']
+    h = conv2d(h, layer['w']) + layer['b'].astype(h.dtype)
     if 'bn' in layer:
       bn = bn_slice(layer['bn']) if bn_slice is not None else layer['bn']
       h, new_bn = apply_batch_norm(h, bn, train)
@@ -243,7 +249,8 @@ def apply_dcnn(params, x, pool: Sequence[int], act: Sequence, train: bool,
   for i, layer in enumerate(params):
     if skip is not None and skip[i] is not None:
       h = jnp.concatenate([h, skip[i]], axis=3)
-    h = conv2d_transpose(h, layer['w'], pool[i]) + layer['b']
+    h = (conv2d_transpose(h, layer['w'], pool[i])
+         + layer['b'].astype(h.dtype))
     if 'bn' in layer:
       bn = bn_slice(layer['bn']) if bn_slice is not None else layer['bn']
       h, new_bn = apply_batch_norm(h, bn, train)
@@ -281,9 +288,9 @@ def apply_mlp(params, x, act: Sequence, dropout_keep=None, key=None,
     if dropout_keep is not None and dropout_keep[i] is not None and train:
       key, sub = jax.random.split(key)
       h = dropout(h, dropout_keep[i], sub, train)
-    h = jnp.dot(h, layer['w'], preferred_element_type=jnp.float32)
+    h = jnp.dot(h, layer['w'].astype(h.dtype))
     if 'b' in layer:
-      h = h + layer['b']
+      h = h + layer['b'].astype(h.dtype)
     if act[i] is not None:
       h = act[i](h)
     h_list.append(h)
@@ -325,11 +332,13 @@ def apply_lstm(params, inp, state):
   hid_dim = params['w_hi'].shape[0]
   c = state[:, :hid_dim]
   h = state[:, hid_dim:]
-  w_x = jnp.concatenate([params[f'w_x{g}'] for g in _LSTM_GATES], axis=1)
-  w_h = jnp.concatenate([params[f'w_h{g}'] for g in _LSTM_GATES], axis=1)
+  w_x = jnp.concatenate([params[f'w_x{g}'] for g in _LSTM_GATES],
+                        axis=1).astype(inp.dtype)
+  w_h = jnp.concatenate([params[f'w_h{g}'] for g in _LSTM_GATES],
+                        axis=1).astype(inp.dtype)
   b = jnp.concatenate([params[f'b_{g}'] for g in _LSTM_GATES])
-  z = (jnp.dot(inp, w_x, preferred_element_type=jnp.float32) +
-       jnp.dot(h, w_h, preferred_element_type=jnp.float32) + b)
+  z = (jnp.dot(inp, w_x) + jnp.dot(h.astype(inp.dtype), w_h)
+       + b).astype(jnp.float32)
   zi, zf, zu, zo = jnp.split(z, 4, axis=1)
   g_i = jax.nn.sigmoid(zi)
   g_f = jax.nn.sigmoid(zf)
