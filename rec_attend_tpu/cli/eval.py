@@ -178,16 +178,22 @@ def fg_main(argv=None):
 
   exp = EvalExperiment('fg', model_cfg, train_cfg, data_cfg,
                        splits=args.split.split(','))
+  from rec_attend_tpu.data import orientation as orient_lib
   for split in args.split.split(','):
     out_base = args.output or os.path.join(restore, 'output')
     for ds, raw, outputs in exp.iterate_split(split):
       y_out = outputs['y_out'][..., 0] if outputs['y_out'].shape[-1] == 1 \
           else outputs['y_out'].max(axis=-1)
+      d_out = outputs.get('d_out')
       idx_map = raw['idx_map']
       orig = raw.get('orig_size')
       for thresh in thresholds:
         folder = os.path.join(out_base, f'{int(thresh * 100):02d}')
         os.makedirs(folder, exist_ok=True)
+        ori_folder = os.path.join(out_base, 'orientation')
+        gt_folder = os.path.join(out_base, 'gt')
+        os.makedirs(ori_folder, exist_ok=True)
+        os.makedirs(gt_folder, exist_ok=True)
         for ii, idx in enumerate(idx_map):
           y = y_out[ii]
           if orig is not None:
@@ -195,4 +201,13 @@ def fg_main(argv=None):
                            interpolation=cv2.INTER_LINEAR)
           y_bin = ((y > thresh) * 255).astype('uint8')
           cv2.imwrite(os.path.join(folder, ds.get_fname(idx)), y_bin)
+          # Orientation colour-wheel render masked by the FG prediction
+          # (ref fg_model_eval.py:134-178 renders fg/ori/gt).
+          if d_out is not None and thresh == thresholds[0]:
+            mask = (y_out[ii] > thresh).astype('float32')
+            img = orient_lib.build_orientation_img(d_out[ii], mask)
+            cv2.imwrite(os.path.join(ori_folder, ds.get_fname(idx)), img)
+          if thresh == thresholds[0] and 'c_gt' in raw:
+            gt = (raw['c_gt'][ii].max(axis=-1) * 255).astype('uint8')
+            cv2.imwrite(os.path.join(gt_folder, ds.get_fname(idx)), gt)
   return exp

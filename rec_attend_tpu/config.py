@@ -528,6 +528,7 @@ def cvppp_full_config() -> FullModelConfig:
       steps_per_learn_rate_decay=5000,
       ctrl_add_inp=True, ctrl_add_canvas=True,
       attn_add_inp=True, attn_add_canvas=True,
+      remat=True,
       **t)
 
 
@@ -597,6 +598,7 @@ def kitti_full_config() -> FullModelConfig:
       attn_add_d_out=True, attn_add_y_out=True,
       base_learn_rate=0.001, learn_rate_decay=0.85,
       steps_per_learn_rate_decay=5000,
+      remat=True,
       **t)
 
 

@@ -51,6 +51,12 @@ def _hungarian_square(w):
   v0 = jnp.zeros(n + 1, dtype=jnp.float32)
   p0 = jnp.zeros(n + 1, dtype=jnp.int32)  # p[j]: row matched to column j
 
+  # Iteration caps guard degenerate/NaN inputs, mirroring the reference
+  # op's MAX_NUM_ITERATION bail-outs (hungarian.cc:20, 362-377): the
+  # Dijkstra phase visits at most n+1 columns and augmentation walks at
+  # most n+1 predecessors; the caps make that a hard guarantee.
+  max_iter = n + 2
+
   def assign_row(i, carry):
     u, v, p = carry
     i = i + 1  # rows are 1-based
@@ -59,13 +65,14 @@ def _hungarian_square(w):
     used = jnp.zeros(n + 1, dtype=bool)
     way = jnp.zeros(n + 1, dtype=jnp.int32)
     j0 = jnp.int32(0)
+    it = jnp.int32(0)
 
     def dij_cond(state):
-      u, v, p, minv, used, way, j0 = state
-      return p[j0] != 0
+      u, v, p, minv, used, way, j0, it = state
+      return (p[j0] != 0) & (it < max_iter)
 
     def dij_body(state):
-      u, v, p, minv, used, way, j0 = state
+      u, v, p, minv, used, way, j0, it = state
       used = used.at[j0].set(True)
       i0 = p[j0]
       cur = cost[i0] - u[i0] - v
@@ -78,23 +85,23 @@ def _hungarian_square(w):
       u = u.at[p].add(jnp.where(used, delta, 0.0))
       v = v - jnp.where(used, delta, 0.0)
       minv = jnp.where(used, minv, minv - delta)
-      return (u, v, p, minv, used, way, j1)
+      return (u, v, p, minv, used, way, j1, it + 1)
 
-    u, v, p, minv, used, way, j0 = jax.lax.while_loop(
-        dij_cond, dij_body, (u, v, p, minv, used, way, j0))
+    u, v, p, minv, used, way, j0, _ = jax.lax.while_loop(
+        dij_cond, dij_body, (u, v, p, minv, used, way, j0, it))
 
     # Augment along the recorded predecessor chain.
     def aug_cond(state):
-      j0, p = state
-      return j0 != 0
+      j0, p, it = state
+      return (j0 != 0) & (it < max_iter)
 
     def aug_body(state):
-      j0, p = state
+      j0, p, it = state
       j1 = way[j0]
       p = p.at[j0].set(p[j1])
-      return (j1, p)
+      return (j1, p, it + 1)
 
-    j0, p = jax.lax.while_loop(aug_cond, aug_body, (j0, p))
+    j0, p, _ = jax.lax.while_loop(aug_cond, aug_body, (j0, p, jnp.int32(0)))
     return (u, v, p)
 
   u, v, p = jax.lax.fori_loop(0, n, assign_row, (u0, v0, p0))
