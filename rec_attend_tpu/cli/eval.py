@@ -95,7 +95,7 @@ def eval_split(exp, split, output_folder, threshold_list, analyzer_names,
     summary[thresh] = {}
     for a in analyzer_sets[tt]:
       r = a.finalize()
-      if r is not None and hasattr(a, 'func' if False else 'name'):
+      if r is not None:
         summary[thresh][a.name] = r
   return summary
 

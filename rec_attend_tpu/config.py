@@ -15,7 +15,7 @@ the reference keeps its real hyperparameters.
 from __future__ import annotations
 
 import dataclasses
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional, Tuple
 
 import yaml

@@ -12,8 +12,6 @@ plus frozen-subtree masking (the reference's trainable=False variables).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import optax
