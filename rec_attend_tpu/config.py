@@ -194,6 +194,10 @@ class FullModelConfig(_ConfigBase):
   use_pallas: bool = False        # fused Pallas glimpse kernels
   parallel_decode: Optional[bool] = None  # vmap timesteps when independent
                                           # (None = auto-detect)
+  accumulate_greedy_match: bool = False   # exclude already-matched GT in the
+                                          # knob greedy match (the reference
+                                          # initialised but never accumulated
+                                          # grd_match_cum, full_model.py:589)
 
   # ---- derived helpers -----------------------------------------------
 
@@ -350,6 +354,7 @@ class BoxModelConfig(_ConfigBase):
   dtype: str = 'float32'
   remat: bool = False
   use_pallas: bool = False
+  accumulate_greedy_match: bool = False
 
   @property
   def ccnn_inp_depth(self):

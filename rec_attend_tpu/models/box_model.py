@@ -124,7 +124,7 @@ def box_model_forward(params, batch, cfg: BoxModelConfig, train: bool, key,
   }
 
   def body(carry, xt):
-    canvas = carry
+    canvas, grd_cum = carry
 
     inp_list = [x, canvas]
     if cfg.add_d_out:
@@ -192,7 +192,10 @@ def box_model_forward(params, batch, cfg: BoxModelConfig, train: bool, key,
       else:
         iou_soft_box_t = (losses.f_inter(attn_box[:, None], attn_box_gt) /
                           losses.f_union(attn_box[:, None], attn_box_gt))
-      grd_match = losses.f_greedy_match(iou_soft_box_t, jnp.zeros((B, T)))
+      grd_match = losses.f_greedy_match(iou_soft_box_t, grd_cum)
+      if cfg.accumulate_greedy_match:
+        grd_cum = jax.lax.stop_gradient(
+            jnp.minimum(grd_cum + grd_match, 1.0))
       y_sel = jnp.sum(grd_match[:, :, None, None] * y_gt, axis=1)[..., None]
     noise = jax.random.uniform(xt['key'], (B, H, W, 1), minval=0.0,
                                maxval=cfg.gt_segm_noise)
@@ -220,10 +223,10 @@ def box_model_forward(params, batch, cfg: BoxModelConfig, train: bool, key,
     }
     if iou_soft_box_t is not None:
       ys['iou_soft_box_t'] = iou_soft_box_t
-    return canvas, ys
+    return (canvas, grd_cum), ys
 
   canvas0 = jnp.zeros((B, H, W, 1))
-  canvas, ys = jax.lax.scan(body, canvas0, xs)
+  (canvas, _), ys = jax.lax.scan(body, (canvas0, jnp.zeros((B, T))), xs)
 
   def t_to_batch(a):
     return jnp.moveaxis(a, 0, 1)

@@ -301,7 +301,7 @@ def full_model_forward(params, batch, cfg: FullModelConfig, train: bool,
   }
 
   def body(carry, xt):
-    canvas = carry  # [B, H, W, 1]
+    canvas, grd_cum = carry  # [B, H, W, 1], [B, T]
 
     ccnn_inp_list = []
     acnn_inp_list = []
@@ -400,10 +400,13 @@ def full_model_forward(params, batch, cfg: FullModelConfig, train: bool,
         attn_ctr_gtm = attn_ctr_gtn[:, xt['t_index'], :]
         attn_size_gtm = attn_size_gtn[:, xt['t_index'], :]
       else:
-        # Greedy match against an all-zero 'already matched' mask — the
-        # reference never accumulates grd_match_cum (full_model.py:589,759).
-        grd_match = losses.f_greedy_match(iou_soft_box_t,
-                                          jnp.zeros((B, T)))
+        # The reference never accumulates grd_match_cum (full_model.py:
+        # 589,759) so each step greedy-matches against all GT;
+        # accumulate_greedy_match=True fixes that latent bug by excluding
+        # already-claimed GT slots.
+        grd_match = losses.f_greedy_match(iou_soft_box_t, grd_cum)
+        if cfg.accumulate_greedy_match:
+          grd_cum = jnp.minimum(grd_cum + grd_match, 1.0)
         attn_ctr_gtm = jnp.sum(grd_match[:, :, None] * attn_ctr_gtn, axis=1)
         attn_size_gtm = jnp.sum(grd_match[:, :, None] * attn_size_gtn, axis=1)
       if train:
@@ -476,6 +479,7 @@ def full_model_forward(params, batch, cfg: FullModelConfig, train: bool,
     canvas = jnp.maximum(y_canvas, canvas)
     if cfg.stop_canvas_grad:
       canvas = jax.lax.stop_gradient(canvas)
+    grd_cum = jax.lax.stop_gradient(grd_cum)
 
     ys = {
         'y_out': y_out_map,
@@ -499,7 +503,7 @@ def full_model_forward(params, batch, cfg: FullModelConfig, train: bool,
         'acnn_bn': new_acnn_bn,
         'adcnn_bn': new_adcnn_bn,
     }
-    return canvas, ys
+    return (canvas, grd_cum), ys
 
   if cfg.remat:
     body = jax.checkpoint(body)
@@ -518,11 +522,13 @@ def full_model_forward(params, batch, cfg: FullModelConfig, train: bool,
                  and not (cfg.use_knob and train))
   use_parallel = (cfg.parallel_decode if cfg.parallel_decode is not None
                   else independent)
+  grd_cum0 = jnp.zeros((B, T))
   if use_parallel and independent:
-    canvas_t, ys = jax.vmap(body, in_axes=(None, 0))(canvas0, xs)
+    (canvas_t, _), ys = jax.vmap(body, in_axes=((None, None), 0))(
+        (canvas0, grd_cum0), xs)
     canvas = jnp.max(canvas_t, axis=0)
   else:
-    canvas, ys = jax.lax.scan(body, canvas0, xs)
+    (canvas, _), ys = jax.lax.scan(body, (canvas0, grd_cum0), xs)
 
   # Move the scan axis back to position 1: [T, B, ...] -> [B, T, ...].
   def t_to_batch(a):

@@ -83,3 +83,22 @@ def test_entry_compiles():
   fn, args = ge.entry()
   y, s = jax.jit(fn)(*args)
   assert np.isfinite(np.asarray(y)).all()
+
+
+def test_multihost_helpers_single_process(tiny):
+  """Multi-host helpers degrade to single-process: global batch assembly
+  over the 8-device mesh feeds the sharded eval step."""
+  from rec_attend_tpu.parallel import multihost
+  cfg, params, batch = tiny
+  multihost.initialize()              # no-op single process
+  mesh = multihost.global_mesh()
+  assert mesh.shape['data'] == 8
+  lo, hi = multihost.process_batch_slice(8)
+  assert (lo, hi) == (0, 8)
+  host_batch = {k: np.asarray(v) for k, v in batch.items()}
+  gbatch = multihost.make_global_batch(mesh, host_batch)
+  assert gbatch['x'].shape[0] == 8
+  ev = ts_lib.make_eval_step(full_model.full_model_loss, cfg, mesh=mesh)
+  metrics = ev(mesh_lib.replicate(mesh, params), gbatch,
+               mesh_lib.replicate(mesh, jax.random.PRNGKey(0)))
+  assert np.isfinite(float(metrics['loss']))
