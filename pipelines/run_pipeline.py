@@ -40,8 +40,8 @@ def run_cvppp(args):
   data_cfg = C.data_config_for('cvppp', args.dataset_folder)
 
   box_cfg = C.cvppp_box_config()
-  box_steps = 60000 if args.scale == 'paper' else args.num_steps
-  full_steps = 30000 if args.scale == 'paper' else args.num_steps
+  box_steps = 60000 if args.scale == 'paper' else (args.num_steps or 100)
+  full_steps = 30000 if args.scale == 'paper' else (args.num_steps or 100)
   bs = 5
 
   train_cfg = C.TrainConfig(model_id=box_id, num_steps=box_steps,
@@ -75,7 +75,7 @@ def run_kitti(args):
 
   fg_cfg = C.kitti_fg_config()
   train_cfg = C.TrainConfig(model_id=fg_id,
-                            num_steps=40000 if paper else args.num_steps,
+                            num_steps=40000 if paper else (args.num_steps or 100),
                             batch_size=8, save_ckpt=True,
                             results=args.results, logs=args.logs)
   TrainingExperiment('fg', fg_cfg, train_cfg, data_cfg).run()
@@ -84,7 +84,7 @@ def run_kitti(args):
 
   box_cfg = C.kitti_box_config()
   train_cfg = train_cfg.replace(model_id=box_id, batch_size=5,
-                                num_steps=60000 if paper else args.num_steps)
+                                num_steps=60000 if paper else (args.num_steps or 100))
   TrainingExperiment('box', box_cfg, train_cfg, data_cfg).run()
   weights = read_weights.box_main(
       ['--model_id', box_id, '--results', args.results])
@@ -92,7 +92,7 @@ def run_kitti(args):
   full_cfg = C.kitti_full_config().replace(pretrain_ctrl_net=weights)
   train_cfg = train_cfg.replace(
       model_id=full_id, batch_size=2,
-      num_steps=100000 if paper else args.num_steps)
+      num_steps=100000 if paper else (args.num_steps or 100))
   TrainingExperiment('full', full_cfg, train_cfg, data_cfg).run()
   eval_cli.full_main(['--model_id', full_id, '--results', args.results,
                       '--dataset', 'kitti', '--split', 'valid'])
@@ -100,31 +100,54 @@ def run_kitti(args):
 
 
 def run_synth(args):
-  """Tiny end-to-end smoke pipeline on the synthetic dataset."""
+  """End-to-end pipeline on the synthetic dataset.
+
+  ``--scale tiny``: 64x64 smoke run (CI-sized).
+  ``--scale paper``: CVPPP-shaped accuracy run — 224x224, T=21, up to 9
+  instances, CVPPP model presets (run_cvppp.sh hyperparameters) on
+  generated data; produces the SBD/count metric table for RESULTS.md.
+  """
   log = logger.get()
   model_id = assign_model_id()
   box_id = f'box_model_synth-{model_id}'
   full_id = f'full_model_synth-{model_id}'
-  data_cfg = C.data_config_for('synth', args.dataset_folder)
+  paper = args.scale == 'paper'
 
-  box_cfg = C.tiny_box_config(timespan=6)
-  train_cfg = C.TrainConfig(model_id=box_id, num_steps=args.num_steps,
-                            batch_size=4, save_ckpt=True,
-                            results=args.results, logs=args.logs,
-                            steps_per_valid=max(args.num_steps // 2, 1),
-                            steps_per_trainval=max(args.num_steps // 2, 1),
-                            steps_per_plot=0)
+  if paper:
+    data_cfg = C.DataConfig(dataset='synth', folder=args.dataset_folder,
+                            height=224, width=224, timespan=21,
+                            num_examples=256, max_objects=9)
+    box_cfg = C.cvppp_box_config()
+    full_base = C.cvppp_full_config()
+    bs = 8
+    box_steps = args.num_steps or 12000
+    full_steps = args.num_steps or 20000
+    cadence = dict(steps_per_valid=250, steps_per_trainval=250,
+                   steps_per_plot=0, num_batch_valid=4, prefetch=True,
+                   num_worker=2)
+  else:
+    data_cfg = C.data_config_for('synth', args.dataset_folder)
+    box_cfg = C.tiny_box_config(timespan=6)
+    full_base = C.tiny_full_config(timespan=6, use_knob=True)
+    bs = 4
+    box_steps = full_steps = args.num_steps or 100
+    cadence = dict(steps_per_valid=max(box_steps // 2, 1),
+                   steps_per_trainval=max(box_steps // 2, 1),
+                   steps_per_plot=0)
+
+  train_cfg = C.TrainConfig(model_id=box_id, num_steps=box_steps,
+                            batch_size=bs, save_ckpt=True,
+                            results=args.results, logs=args.logs, **cadence)
   TrainingExperiment('box', box_cfg, train_cfg, data_cfg).run()
   weights = read_weights.box_main(
       ['--model_id', box_id, '--results', args.results])
 
-  full_cfg = C.tiny_full_config(timespan=6, use_knob=True,
-                                pretrain_ctrl_net=weights)
-  train_cfg = train_cfg.replace(model_id=full_id)
+  full_cfg = full_base.replace(pretrain_ctrl_net=weights)
+  train_cfg = train_cfg.replace(model_id=full_id, num_steps=full_steps)
   TrainingExperiment('full', full_cfg, train_cfg, data_cfg).run()
   eval_cli.full_main(['--model_id', full_id, '--results', args.results,
                       '--dataset', 'synth', '--split', 'valid',
-                      '--batch_size', '4']
+                      '--batch_size', str(bs)]
                      + (['--dataset_folder', args.dataset_folder]
                         if args.dataset_folder else []))
   log.info(f'Pipeline done: {full_id}')
@@ -138,7 +161,7 @@ def main():
   parser.add_argument('--results', default='results')
   parser.add_argument('--logs', default='logs')
   parser.add_argument('--scale', default='paper', choices=['paper', 'tiny'])
-  parser.add_argument('--num_steps', default=100, type=int,
+  parser.add_argument('--num_steps', default=None, type=int,
                       help='steps per stage when --scale tiny')
   args = parser.parse_args()
   if args.dataset == 'cvppp':

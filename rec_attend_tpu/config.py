@@ -480,6 +480,10 @@ class DataConfig(_ConfigBase):
   height: int = 224
   width: int = 224
   timespan: int = 21
+  # Generated-dataset knobs (synth only): train-split size and the maximum
+  # number of instances per image.  Other splits get num_examples // 4.
+  num_examples: int = 32
+  max_objects: int = 4
 
 
 def data_config_for(dataset: str, folder: Optional[str] = None) -> DataConfig:

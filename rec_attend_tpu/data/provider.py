@@ -41,8 +41,14 @@ def get(dataset_name, data_opt, split='train', h5_fname=None):
     if not os.path.exists(h5_fname):
       os.makedirs(os.path.dirname(h5_fname), exist_ok=True)
       seed = {'train': 3, 'valid': 4, 'test': 5}.get(split, 6)
+      num = int(opt.get('num_examples', 32) or 32)
+      if split != 'train':
+        num = max(num // 4, 8)
       return make_synthetic_h5(h5_fname, height=opt['height'],
-                               width=opt['width'], seed=seed)
+                               width=opt['width'], seed=seed,
+                               num_examples=num,
+                               max_objects=int(opt.get('max_objects', 4)
+                                               or 4))
     return Synthetic(h5_fname)
   else:
     raise ValueError(f'Unknown dataset name: {dataset_name}')
