@@ -508,7 +508,7 @@ def cvppp_box_config() -> BoxModelConfig:
       ctrl_cnn_pool=(1, 2, 1, 2, 1, 2, 2, 2),
       num_ctrl_mlp_layers=1,
       base_learn_rate=0.001, learn_rate_decay=0.9,
-      steps_per_learn_rate_decay=5000, **t)
+      steps_per_learn_rate_decay=5000, remat=True, **t)
 
 
 def cvppp_full_config() -> FullModelConfig:
@@ -574,7 +574,7 @@ def kitti_box_config() -> BoxModelConfig:
       num_ctrl_mlp_layers=1, dynamic_var=True,
       add_d_out=True, add_y_out=True,
       base_learn_rate=0.001, learn_rate_decay=0.9,
-      steps_per_learn_rate_decay=5000, **t)
+      steps_per_learn_rate_decay=5000, remat=True, **t)
 
 
 def kitti_full_config() -> FullModelConfig:

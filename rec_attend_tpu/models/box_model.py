@@ -225,6 +225,9 @@ def box_model_forward(params, batch, cfg: BoxModelConfig, train: bool, key,
       ys['iou_soft_box_t'] = iou_soft_box_t
     return (canvas, grd_cum), ys
 
+  if cfg.remat:
+    body = jax.checkpoint(body)
+
   canvas0 = jnp.zeros((B, H, W, 1))
   (canvas, _), ys = jax.lax.scan(body, (canvas0, jnp.zeros((B, T))), xs)
 
