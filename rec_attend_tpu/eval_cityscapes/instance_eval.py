@@ -43,8 +43,47 @@ def instance_labels():
   return [l.name for l in labels if l.hasInstances and not l.ignoreInEval]
 
 
-def get_gt_instances(gt_img):
+# Nominal Cityscapes stereo rig (per-image camera JSONs override these):
+# baseline in metres, focal length in pixels at full 2048x1024 resolution.
+NOMINAL_BASELINE = 0.209313
+NOMINAL_FX = 2262.52
+
+
+def disparity_to_distance(disp_png, baseline=NOMINAL_BASELINE,
+                          fx=NOMINAL_FX):
+  """Decode an official `_disparity.png` into metric distance [m].
+
+  Cityscapes encoding: pixel value p > 0 means disparity d = (p - 1) / 256
+  (p == 0 marks invalid measurements); depth = baseline * fx / d.  This is
+  the disparity->distance step the vendored toolkit left to an external
+  depth pipeline (the reference's Instance keeps medDist = -1,
+  instance.py:10), completing AP_100m / AP_50m end-to-end.
+
+  Returns float32 distances with NaN where invalid.
+  """
+  disp_png = np.asarray(disp_png, np.float32)
+  d = (disp_png - 1.0) / 256.0
+  dist = np.where(disp_png > 0, baseline * fx / np.maximum(d, 1e-9),
+                  np.nan)
+  return dist.astype(np.float32)
+
+
+def load_camera(camera_json):
+  """(baseline, fx) from an official `_camera.json`."""
+  with open(camera_json) as f:
+    cam = json.load(f)
+  return (float(cam['extrinsic']['baseline']),
+          float(cam['intrinsic']['fx']))
+
+
+def get_gt_instances(gt_img, distance_img=None):
   """Extract gt instances from an instanceIds image.
+
+  distance_img: optional [H, W] metric distance map (NaN = invalid, e.g.
+  from ``disparity_to_distance``); fills medDist (median distance over
+  valid pixels) and distConf (valid-pixel fraction), enabling the
+  distance-limited AP rows
+  (ref evalInstanceLevelSemanticLabeling.py:134-140, :416).
 
   Returns dict labelName -> list of instance dicts."""
   inst = {}
@@ -56,9 +95,17 @@ def get_gt_instances(gt_img):
     label = id2label[label_id]
     if not label.hasInstances:
       continue
+    med_dist, dist_conf = -1.0, 0.0
+    if distance_img is not None:
+      dists = distance_img[gt_img == inst_id]
+      valid = dists[np.isfinite(dists)]
+      if valid.size:
+        med_dist = float(np.median(valid))
+        dist_conf = float(valid.size) / float(count)
     inst.setdefault(label.name, []).append({
         'instID': int(inst_id), 'labelID': int(label_id),
-        'pixelCount': int(count), 'medDist': -1.0, 'distConf': 0.0,
+        'pixelCount': int(count), 'medDist': med_dist,
+        'distConf': dist_conf,
     })
   return inst
 
@@ -269,27 +316,51 @@ def compute_averages(aps, inst_labels, distance_available=False):
 
 
 def evaluate_instance_predictions(prediction_txts, gt_files,
-                                  export_file=None, quiet=False):
+                                  export_file=None, quiet=False,
+                                  distance_files=None,
+                                  camera_files=None):
   """Full evaluation given aligned lists of prediction txts and gt
-  instanceIds images.  Returns the averages dict."""
+  instanceIds images.  Returns the averages dict.
+
+  distance_files: optional aligned list of official `_disparity.png`
+  paths (entries may be None); enables AP_100m / AP_50m.  camera_files:
+  optional aligned `_camera.json` paths overriding the nominal stereo
+  rig per image."""
   log = logger.get()
   inst_labels = instance_labels()
+  distance_available = bool(distance_files) and any(
+      d is not None for d in distance_files)
   matches = {}
-  for pred_txt, gt_file in zip(prediction_txts, gt_files):
+  for i, (pred_txt, gt_file) in enumerate(zip(prediction_txts, gt_files)):
     gt_img = cv2.imread(gt_file, -1)
     if gt_img is None:
       raise FileNotFoundError(gt_file)
     gt_img = gt_img.astype(np.int64)
-    gt_instances = get_gt_instances(gt_img)
+    distance_img = None
+    if distance_files and distance_files[i] is not None:
+      disp = cv2.imread(distance_files[i], -1)
+      if disp is None:
+        raise FileNotFoundError(distance_files[i])
+      baseline, fx = NOMINAL_BASELINE, NOMINAL_FX
+      if camera_files and camera_files[i] is not None:
+        baseline, fx = load_camera(camera_files[i])
+      distance_img = disparity_to_distance(disp, baseline, fx)
+    gt_instances = get_gt_instances(gt_img, distance_img=distance_img)
     pred_info = read_pred_info(pred_txt)
     gts, preds = assign_gt_to_preds(gt_instances, gt_img, pred_info,
                                     inst_labels)
     matches[os.path.abspath(gt_file)] = {
         'groundTruth': gts, 'prediction': preds}
-  aps = evaluate_matches(matches, inst_labels)
-  avg = compute_averages(aps, inst_labels)
+  aps = evaluate_matches(matches, inst_labels,
+                         distance_available=distance_available)
+  avg = compute_averages(aps, inst_labels,
+                         distance_available=distance_available)
   if not quiet:
-    log.info(f"AP: {avg['allAp']:.3f}  AP_50%: {avg['allAp50%']:.3f}")
+    extra = (f"  AP_100m: {avg['allAp100m']:.3f}  "
+             f"AP_50m: {avg['allAp50m']:.3f}"
+             if 'allAp100m' in avg else '')
+    log.info(f"AP: {avg['allAp']:.3f}  AP_50%: {avg['allAp50%']:.3f}"
+             + extra)
     for name, d in avg['classes'].items():
       log.info(f"  {name:12s} ap {d['ap']:.3f}  ap50% {d['ap50%']:.3f}")
   if export_file:
@@ -303,6 +374,18 @@ def find_gt_files(cityscapes_path, split='val'):
   pattern = os.path.join(cityscapes_path, 'gtFine', split, '*',
                          '*_gtFine_instanceIds.png')
   return sorted(glob.glob(pattern))
+
+
+def find_side_file(gt_file, cityscapes_path, split, kind, ext):
+  """Locate a `disparity`/`camera` sibling of a gt file by stem, or None.
+
+  Official layout: {root}/{kind}/{split}/{city}/{stem}_{kind}.{ext}."""
+  base = os.path.basename(gt_file)
+  stem = '_'.join(base.split('_')[:3])
+  city = stem.split('_')[0]
+  path = os.path.join(cityscapes_path, kind, split, city,
+                      f'{stem}_{kind}.{ext}')
+  return path if os.path.exists(path) else None
 
 
 def find_prediction_file(gt_file, prediction_path):
@@ -330,11 +413,22 @@ def main(argv=None):
   parser.add_argument('--split',
                       default=os.environ.get('CITYSCAPES_SPLIT', 'val'))
   parser.add_argument('--export', default=None)
+  parser.add_argument('--use_distance', action='store_true',
+                      help='derive per-instance distances from the '
+                      'official disparity/ images for AP_100m / AP_50m')
   args = parser.parse_args(argv)
   gt_files = find_gt_files(args.dataset, args.split)
   pred_txts = [find_prediction_file(g, args.predictions) for g in gt_files]
+  distance_files = camera_files = None
+  if args.use_distance:
+    distance_files = [find_side_file(g, args.dataset, args.split,
+                                     'disparity', 'png') for g in gt_files]
+    camera_files = [find_side_file(g, args.dataset, args.split,
+                                   'camera', 'json') for g in gt_files]
   return evaluate_instance_predictions(pred_txts, gt_files,
-                                       export_file=args.export)
+                                       export_file=args.export,
+                                       distance_files=distance_files,
+                                       camera_files=camera_files)
 
 
 if __name__ == '__main__':

@@ -115,6 +115,117 @@ def test_pixel_evaluator():
                              32 / (32 + 8))
 
 
+def _disp_value(distance_m):
+  """Invert the official disparity encoding for a target distance."""
+  d = IE.NOMINAL_BASELINE * IE.NOMINAL_FX / distance_m
+  return int(round(d * 256.0 + 1.0))
+
+
+def test_disparity_to_distance_roundtrip():
+  disp = np.zeros((4, 4), np.uint16)
+  disp[0, 0] = _disp_value(20.0)
+  disp[0, 1] = _disp_value(150.0)
+  dist = IE.disparity_to_distance(disp)
+  np.testing.assert_allclose(dist[0, 0], 20.0, rtol=1e-2)
+  np.testing.assert_allclose(dist[0, 1], 150.0, rtol=1e-2)
+  assert np.isnan(dist[1, 1])   # p == 0 is invalid
+
+
+def test_ap_distance_rows(tmp_path):
+  """Near car (20m) + far car (150m), both predicted perfectly:
+  AP=1 everywhere — the far gt is excluded from the 100m/50m rows and its
+  unmatched prediction is ignored (overlaps the excluded gt)."""
+  h = w = 128
+  m1 = np.zeros((h, w), np.uint8)
+  m1[20:60, 20:60] = 1           # near car, 1600 px (>= 1000 min size)
+  m2 = np.zeros((h, w), np.uint8)
+  m2[70:110, 70:110] = 1         # far car
+  txt, gt = _write_case(tmp_path, [(m1, 26, 0.9), (m2, 26, 0.8)])
+
+  disp = np.zeros((h, w), np.uint16)
+  disp[20:60, 20:60] = _disp_value(20.0)
+  disp[70:110, 70:110] = _disp_value(150.0)
+  disp_file = str(tmp_path / 'disparity.png')
+  cv2.imwrite(disp_file, disp)
+
+  avg = IE.evaluate_instance_predictions([txt], [gt], quiet=True,
+                                         distance_files=[disp_file])
+  np.testing.assert_allclose(avg['allAp'], 1.0)
+  np.testing.assert_allclose(avg['allAp100m'], 1.0)
+  np.testing.assert_allclose(avg['allAp50m'], 1.0)
+
+
+def test_ap_distance_low_conf_instance_excluded(tmp_path):
+  """An instance whose disparity is <50% valid fails the distConf filter:
+  with no valid gt left the 100m row has no positives, and the (ignored)
+  predictions keep it NaN-free via the overlap rule."""
+  h = w = 128
+  m1 = np.zeros((h, w), np.uint8)
+  m1[20:60, 20:60] = 1
+  txt, gt_file = _write_case(tmp_path, [(m1, 26, 0.9)])
+  # Rewrite gt to a single car; disparity valid on only 40% of its pixels.
+  gt = np.zeros((h, w), np.int32)
+  gt[20:60, 20:60] = 26001
+  cv2.imwrite(gt_file, gt.astype(np.uint16))
+  disp = np.zeros((h, w), np.uint16)
+  disp[20:36, 20:60] = _disp_value(20.0)   # 16/40 rows valid = 40%
+  disp_file = str(tmp_path / 'disparity.png')
+  cv2.imwrite(disp_file, disp)
+
+  avg = IE.evaluate_instance_predictions([txt], [gt_file], quiet=True,
+                                         distance_files=[disp_file])
+  np.testing.assert_allclose(avg['allAp'], 1.0)
+  # 100m row: the only gt is excluded (distConf 0.4 < 0.5) and the
+  # prediction ignored -> no gt, no counted pred -> NaN -> nanmean -> NaN
+  assert np.isnan(avg['allAp100m'])
+
+
+def test_pixel_evaluator_inst_iou_and_categories():
+  """Hand-computed iIoU: a perfectly-predicted 400px car + a fully-missed
+  100px car weight equally in iIoU (0.5) but not in IoU (0.8)."""
+  from rec_attend_tpu.eval_cityscapes.pixel_eval import AVG_CLASS_SIZE
+  ev = PixelEvaluator()
+  h = w = 64
+  gt = np.full((h, w), 7, np.uint8)        # road
+  inst = np.zeros((h, w), np.int32)
+  gt[0:10, 0:10] = 26                      # car A (100 px)
+  inst[0:10, 0:10] = 26001
+  gt[20:40, 20:40] = 26                    # car B (400 px)
+  inst[20:40, 20:40] = 26002
+  pred = np.full((h, w), 7, np.uint8)
+  pred[20:40, 20:40] = 26                  # only B predicted
+  ev.add_pair(pred, gt, instance_img=inst)
+  result = ev.finalize()
+
+  np.testing.assert_allclose(result['classes']['car'], 400 / 500)
+  # iIoU: tpW = 400*avg/400 = avg, fnW = 100*avg/100 = avg, fp = 0 -> 0.5
+  np.testing.assert_allclose(result['classesInst']['car'], 0.5)
+  np.testing.assert_allclose(result['classes']['road'], 3596 / 3696)
+  # road has no instances -> nan in the instance column
+  assert np.isnan(result['classesInst']['road'])
+  np.testing.assert_allclose(result['categories']['vehicle'], 400 / 500)
+  np.testing.assert_allclose(result['categoriesInst']['vehicle'], 0.5)
+  np.testing.assert_allclose(result['categories']['flat'], 3596 / 3696)
+  assert np.isnan(result['categoriesInst'].get('flat', float('nan')))
+  assert not np.isnan(result['meanInstIoU'])
+  assert not np.isnan(result['meanCategoryInstIoU'])
+  # sanity: the weighting constant actually cancelled
+  assert AVG_CLASS_SIZE['car'] > 0
+
+
+def test_pixel_evaluator_without_instances_matches_legacy():
+  """No instance image -> instance scores are nan, IoU path unchanged."""
+  ev = PixelEvaluator()
+  gt = np.full((64, 64), 7, np.uint8)
+  gt[:32] = 26
+  pred = gt.copy()
+  ev.add_pair(pred, gt)
+  result = ev.finalize()
+  np.testing.assert_allclose(result['classes']['car'], 1.0)
+  assert np.isnan(result['classesInst']['car'])
+  assert np.isnan(result['meanInstIoU'])
+
+
 def test_submission_roundtrip_with_renderer(tmp_path):
   """The analysis writer's output parses through the official evaluator."""
   from rec_attend_tpu import analysis
