@@ -90,7 +90,15 @@ class BatchIterator:
 class ConcurrentBatchIterator:
   """Prefetching wrapper: N producer threads call the underlying iterator
   and push results into a bounded queue; a None sentinel marks the end of
-  non-cycling data."""
+  non-cycling data.
+
+  Dead producers (a crashed ``get_fn``) are detected and relaunched like
+  the reference's scan loop (utils/concurrent_batch_iter.py:110-133), so a
+  transient worker failure cannot silently end an epoch early or deadlock
+  the consumer.  ``MAX_RELAUNCH`` bounds pathological crash loops.
+  """
+
+  MAX_RELAUNCH = 100
 
   def __init__(self, batch_iter, max_queue_size=10, num_threads=4,
                log_queue=-1):
@@ -100,23 +108,51 @@ class ConcurrentBatchIterator:
     self._stopped = threading.Event()
     self._exhausted = threading.Event()
     self._num_threads = num_threads
+    self._clean_exits = set()
+    self._scan_lock = threading.Lock()
+    self._relaunches = 0
     self._start_threads()
 
+  def _spawn(self):
+    t = threading.Thread(target=self._producer, daemon=True)
+    t.start()
+    return t
+
   def _start_threads(self):
-    for _ in range(self._num_threads):
-      t = threading.Thread(target=self._producer, daemon=True)
-      t.start()
-      self._threads.append(t)
+    self._threads = [self._spawn() for _ in range(self._num_threads)]
 
   def _producer(self):
-    while not self._stopped.is_set():
-      try:
-        batch = next(self._iter)
-      except StopIteration:
-        self._exhausted.set()
-        self._q.put(None)
+    try:
+      while not self._stopped.is_set():
+        try:
+          batch = next(self._iter)
+        except StopIteration:
+          self._clean_exits.add(threading.get_ident())
+          self._exhausted.set()
+          self._q.put(None)
+          return
+        self._q.put(batch)
+      self._clean_exits.add(threading.get_ident())
+    except Exception as e:   # noqa: BLE001 — scan() relaunches the worker
+      from rec_attend_tpu.utils import logger
+      logger.get().error(f'Batch producer thread died: {e!r}')
+
+  def scan(self):
+    """Relaunch producers that died without a clean exit
+    (ref concurrent_batch_iter.py:110-133)."""
+    with self._scan_lock:
+      if self._stopped.is_set():
         return
-      self._q.put(batch)
+      for i, t in enumerate(self._threads):
+        if not t.is_alive() and t.ident not in self._clean_exits:
+          if self._relaunches >= self.MAX_RELAUNCH:
+            raise RuntimeError(
+                f'Batch producer crashed > {self.MAX_RELAUNCH} times; '
+                'giving up (inspect the data pipeline).')
+          self._relaunches += 1
+          from rec_attend_tpu.utils import logger
+          logger.get().warning('Relaunching dead batch producer thread')
+          self._threads[i] = self._spawn()
 
   def __iter__(self):
     return self
@@ -125,7 +161,12 @@ class ConcurrentBatchIterator:
     while True:
       if (self._exhausted.is_set() and self._q.empty()):
         raise StopIteration
-      batch = self._q.get()
+      try:
+        batch = self._q.get(timeout=1.0)
+      except queue.Empty:
+        # Nothing produced in a while: recover any crashed workers.
+        self.scan()
+        continue
       if batch is None:
         if self._exhausted.is_set():
           raise StopIteration
@@ -140,7 +181,8 @@ class ConcurrentBatchIterator:
     self._stopped = threading.Event()
     self._exhausted = threading.Event()
     self._q = queue.Queue(maxsize=self._q.maxsize)
-    self._threads = []
+    self._clean_exits = set()
+    self._relaunches = 0
     self._start_threads()
 
   def stop(self):

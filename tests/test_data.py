@@ -120,6 +120,45 @@ def test_concurrent_iterator_exhausts():
   assert got == list(range(7))
 
 
+def test_concurrent_iterator_relaunches_dead_producer():
+  """A get_fn that crashes once per thread must not end the epoch early:
+  scan() relaunches the dead workers and the full epoch drains
+  (ref concurrent_batch_iter.py:110-133)."""
+  import threading
+  crashes = [2]
+  lock = threading.Lock()
+
+  def flaky_get(idx):
+    with lock:
+      if crashes[0] > 0:
+        crashes[0] -= 1
+        raise OSError('simulated transient decode failure')
+    return idx.copy()
+
+  base = BatchIterator(20, batch_size=2, cycle=False, shuffle=False,
+                       get_fn=flaky_get)
+  it = ConcurrentBatchIterator(base, max_queue_size=4, num_threads=2)
+  got = sorted(np.concatenate(list(it)).tolist())
+  # The two crashed batches are lost (their indexes were consumed before
+  # the crash) but every other index arrives and iteration ends cleanly.
+  assert len(got) >= 16
+  assert it._relaunches >= 1
+
+
+def test_concurrent_iterator_crash_loop_gives_up():
+  """Deterministically-crashing workers must raise, not hang."""
+  def always_crash(idx):
+    raise OSError('permanent failure')
+
+  base = BatchIterator(1000, batch_size=1, cycle=True, shuffle=False,
+                       get_fn=always_crash)
+  it = ConcurrentBatchIterator(base, max_queue_size=2, num_threads=2)
+  it.MAX_RELAUNCH = 3
+  with pytest.raises(RuntimeError, match='giving up'):
+    next(it)
+  it.stop()
+
+
 def test_provider_synth(tmp_path):
   from rec_attend_tpu.data import provider
   ds = provider.get('synth', {'height': 32, 'width': 32,
