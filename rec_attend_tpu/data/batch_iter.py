@@ -159,17 +159,18 @@ class ConcurrentBatchIterator:
 
   def __next__(self):
     while True:
-      if (self._exhausted.is_set() and self._q.empty()):
-        raise StopIteration
       try:
-        batch = self._q.get(timeout=1.0)
+        batch = self._q.get(timeout=0.2)
       except queue.Empty:
-        # Nothing produced in a while: recover any crashed workers.
+        # Nothing produced in a while: recover any crashed workers, and
+        # stop only once every producer has exited (a bare "exhausted"
+        # flag would drop batches still in flight in other producers).
         self.scan()
+        if (self._exhausted.is_set() and self._q.empty()
+            and not any(t.is_alive() for t in self._threads)):
+          raise StopIteration
         continue
       if batch is None:
-        if self._exhausted.is_set():
-          raise StopIteration
         continue
       return batch
 
