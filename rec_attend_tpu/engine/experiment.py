@@ -219,6 +219,7 @@ class TrainingExperiment(ExperimentBase):
     return self.loggers[name]
 
   def _device_batch(self, batch):
+    batch = ts_lib.encode_batch(batch)   # uint8 on the wire (4x smaller)
     if self.mesh is not None:
       from rec_attend_tpu.parallel import mesh as mesh_lib
       return mesh_lib.shard_batch(self.mesh, batch)
@@ -234,6 +235,7 @@ class TrainingExperiment(ExperimentBase):
       n = len(next(iter(batch.values())))
       self.key, k = jax.random.split(self.key)
       metrics = self.eval_step(self.params, self._device_batch(batch), k)
+      metrics = jax.device_get(metrics)   # one transfer for all metrics
       for name, v in metrics.items():
         sums[name] = sums.get(name, 0.0) + float(v) * n
       count += n
@@ -250,6 +252,8 @@ class TrainingExperiment(ExperimentBase):
     start = self.step
     step_time_logger = self._logger_for('step_time', ['step time (ms)'])
     last_log = time.time()
+    t_window = time.time()
+    window_steps = 0
     while self.step < cfg.num_steps:
       # Validation cadence (ref experiment.py:247-255).
       if (cfg.has_valid and self.step % cfg.steps_per_valid == 0
@@ -265,15 +269,21 @@ class TrainingExperiment(ExperimentBase):
 
       batch = next(self.train_iter)
       self.key, k = jax.random.split(self.key)
-      t0 = time.time()
       self.params, self.opt_state, metrics = self.train_step(
           self.params, self.opt_state, self._device_batch(batch), k,
           jnp.asarray(self.step, jnp.float32))
-      loss = float(metrics['loss'])
-      step_ms = (time.time() - t0) * 1000
       self.step += 1
+      window_steps += 1
 
-      if self.step % cfg.steps_per_log == 0:
+      # Sync the device only on the log cadence: pulling the loss every
+      # step serialises host and device (a full round trip per step when
+      # the chip is behind a network tunnel).  Dispatch stays async
+      # in between; the NaN guard runs on the same cadence.
+      if self.step % cfg.steps_per_log == 0 or self.step >= cfg.num_steps:
+        loss = float(metrics['loss'])   # waits for the dispatched window
+        step_ms = (time.time() - t_window) * 1000 / max(window_steps, 1)
+        t_window = time.time()
+        window_steps = 0
         step_time_logger.add(self.step, step_ms)
         self._logger_for('loss', ['train loss', 'valid loss']).add(
             self.step, [loss, None])
@@ -281,9 +291,9 @@ class TrainingExperiment(ExperimentBase):
           self.log.info(f'step {self.step} loss {loss:.4f} '
                         f'({step_ms:.0f} ms/step)')
           last_log = time.time()
-      if not np.isfinite(loss):
-        self.log.error(f'NaN/Inf loss at step {self.step}; stopping')
-        break
+        if not np.isfinite(loss):
+          self.log.error(f'NaN/Inf loss at step {self.step}; stopping')
+          break
 
       if cfg.save_ckpt and self.step % cfg.steps_per_ckpt == 0:
         self.checkpoint()
