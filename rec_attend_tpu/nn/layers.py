@@ -190,11 +190,13 @@ def apply_cnn(params, x, pool: Sequence[int], act: Sequence,
     (h_list, new_bn_list) where new_bn_list[i] is the updated single-copy BN
     dict (or None for layers without BN).
   """
+  from rec_attend_tpu.parallel.mesh import constrain
   h = x
   h_list = []
   new_bns = []
   for i, layer in enumerate(params):
     h = conv2d(h, layer['w']) + layer['b'].astype(h.dtype)
+    h = constrain(h, None, None, None, 'model')   # TP: channels sharded
     if 'bn' in layer:
       bn = bn_slice(layer['bn']) if bn_slice is not None else layer['bn']
       h, new_bn = apply_batch_norm(h, bn, train)
@@ -282,6 +284,7 @@ def init_mlp(key, dims: Sequence[int], add_bias=True):
 
 def apply_mlp(params, x, act: Sequence, dropout_keep=None, key=None,
               train=False):
+  from rec_attend_tpu.parallel.mesh import constrain
   h = x
   h_list = []
   for i, layer in enumerate(params):
@@ -289,6 +292,7 @@ def apply_mlp(params, x, act: Sequence, dropout_keep=None, key=None,
       key, sub = jax.random.split(key)
       h = dropout(h, dropout_keep[i], sub, train)
     h = jnp.dot(h, layer['w'].astype(h.dtype))
+    h = constrain(h, None, 'model')               # TP: features sharded
     if 'b' in layer:
       h = h + layer['b'].astype(h.dtype)
     if act[i] is not None:
@@ -337,8 +341,10 @@ def apply_lstm(params, inp, state):
   w_h = jnp.concatenate([params[f'w_h{g}'] for g in _LSTM_GATES],
                         axis=1).astype(inp.dtype)
   b = jnp.concatenate([params[f'b_{g}'] for g in _LSTM_GATES])
+  from rec_attend_tpu.parallel.mesh import constrain
   z = (jnp.dot(inp, w_x) + jnp.dot(h.astype(inp.dtype), w_h)
        + b).astype(jnp.float32)
+  z = constrain(z, None, 'model')                 # TP: 4H gates sharded
   zi, zf, zu, zo = jnp.split(z, 4, axis=1)
   g_i = jax.nn.sigmoid(zi)
   g_f = jax.nn.sigmoid(zf)

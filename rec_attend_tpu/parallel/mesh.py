@@ -13,9 +13,48 @@ Axes:
 
 from __future__ import annotations
 
+import contextlib
+import threading
+
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# Ambient tensor-parallel mesh: set by ``tensor_parallel`` around a traced
+# step so layer code (nn/layers.py) can pin activation shardings without
+# threading the mesh through every call signature.
+_TP_STATE = threading.local()
+
+
+@contextlib.contextmanager
+def tensor_parallel(mesh: Mesh):
+  """Activate in-model TP activation constraints while tracing under it."""
+  prev = getattr(_TP_STATE, 'mesh', None)
+  _TP_STATE.mesh = mesh
+  try:
+    yield
+  finally:
+    _TP_STATE.mesh = prev
+
+
+def constrain(x, *spec):
+  """``with_sharding_constraint`` against the ambient TP mesh.
+
+  No-op unless a mesh with a >1 'model' axis is active and every sharded
+  dim divides by its axis size; layer code can therefore call this
+  unconditionally.
+  """
+  mesh = getattr(_TP_STATE, 'mesh', None)
+  if mesh is None:
+    return x
+  sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+  if sizes.get('model', 1) <= 1:
+    return x
+  for dim, name in enumerate(spec):
+    if name is not None and x.shape[dim] % sizes[name] != 0:
+      return x
+  return jax.lax.with_sharding_constraint(
+      x, NamedSharding(mesh, P(*spec)))
 
 
 def make_mesh(num_data=None, num_model=1, devices=None) -> Mesh:
@@ -55,17 +94,23 @@ def replicate(mesh: Mesh, tree):
 def param_sharding_rules(params, mesh: Mesh, shard_model_axis=False):
   """Per-leaf shardings for the parameter pytree.
 
-  Default: fully replicated (DP).  With ``shard_model_axis`` large matmul
-  weights are split on their output dim over 'model' — tensor parallelism
-  for the LSTM/MLP blocks.  XLA inserts the required collectives.
+  Default: fully replicated (DP).  With ``shard_model_axis`` matmul
+  weights split on their output dim and conv kernels on their output
+  channel over 'model' — tensor parallelism for the LSTM/MLP/CNN blocks,
+  paired with the activation constraints in nn/layers.py (``constrain``).
+  XLA inserts the required collectives.
   """
   model_n = mesh.shape['model']
 
   def rule(leaf):
-    if (shard_model_axis and model_n > 1 and hasattr(leaf, 'ndim')
-        and leaf.ndim == 2 and leaf.shape[1] % model_n == 0
-        and leaf.shape[1] >= 2 * model_n):
-      return NamedSharding(mesh, P(None, 'model'))
+    if shard_model_axis and model_n > 1 and hasattr(leaf, 'ndim'):
+      if (leaf.ndim == 2 and leaf.shape[1] % model_n == 0
+          and leaf.shape[1] >= 2 * model_n):
+        return NamedSharding(mesh, P(None, 'model'))
+      if (leaf.ndim == 4 and leaf.shape[3] % model_n == 0
+          and leaf.shape[3] >= 2 * model_n):
+        # [kh, kw, in_c, out_c] conv kernel: split output channels.
+        return NamedSharding(mesh, P(None, None, None, 'model'))
     return NamedSharding(mesh, P())
 
   return jax.tree_util.tree_map(rule, params)

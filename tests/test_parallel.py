@@ -63,6 +63,43 @@ def test_dp_train_step_matches_single_device(tiny):
   np.testing.assert_allclose(w1, w2, rtol=2e-3, atol=2e-4)
 
 
+def test_tp_loss_and_grads_match_dp_only(tiny):
+  """4x2 DP x TP (weights split on output dims + in-model activation
+  constraints) must numerically match the 8x1 pure-DP loss AND gradients.
+  (Gradients, not Adam-updated params: at step 0 Adam emits +-lr by
+  gradient sign, which amplifies reduction-order noise on ~0 grads.)"""
+  cfg, params, batch = tiny
+  key = jax.random.PRNGKey(3)
+
+  from jax.sharding import NamedSharding, PartitionSpec as P
+
+  def lg(params, batch):
+    loss, _ = full_model.full_model_loss(params, batch, cfg, True, key,
+                                         jnp.asarray(0.0))
+    return loss
+
+  def run(mesh, shard_model):
+    psh = mesh_lib.param_sharding_rules(params, mesh,
+                                        shard_model_axis=shard_model)
+    repl = NamedSharding(mesh, P())
+    bsh = NamedSharding(mesh, P('data'))
+    with mesh_lib.tensor_parallel(mesh):
+      jfn = jax.jit(jax.value_and_grad(lg),
+                    in_shardings=(psh, bsh), out_shardings=(repl, psh))
+      p = jax.device_put(params, psh)
+      b = {k: jax.device_put(v, bsh) for k, v in batch.items()}
+      loss, grads = jfn(p, b)
+      return float(loss), jax.device_get(grads)
+
+  loss_dp, g_dp = run(mesh_lib.make_mesh(num_data=8, num_model=1), False)
+  loss_tp, g_tp = run(mesh_lib.make_mesh(num_data=4, num_model=2), True)
+  np.testing.assert_allclose(loss_dp, loss_tp, rtol=2e-4, atol=2e-5)
+  for a, b in zip(jax.tree_util.tree_leaves(g_dp),
+                  jax.tree_util.tree_leaves(g_tp)):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-3, atol=2e-5)
+
+
 def test_eval_step_sharded(tiny):
   cfg, params, batch = tiny
   mesh = mesh_lib.make_mesh(num_data=8)
