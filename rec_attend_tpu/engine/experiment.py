@@ -123,7 +123,11 @@ class ExperimentBase:
       self.model_id = (train_cfg.model_id or
                        assign_model_id(f'{spec_name}_model'))
       self.folder = os.path.join(train_cfg.results, self.model_id)
-    self.saver = Saver(self.folder, model_opt=model_cfg, data_opt=data_cfg)
+    # Restoring must not clobber the YAML snapshots saved at train time
+    # (the reference reads opts back on resume, experiment.py:27-37).
+    self.saver = (Saver(self.folder) if restore else
+                  Saver(self.folder, model_opt=model_cfg,
+                        data_opt=data_cfg))
 
     self.variables = set(self.spec.batch_variables) | set(extra_variables)
     needs_packed = getattr(model_cfg, 'add_d_out', False)
@@ -326,9 +330,22 @@ class EvalExperiment(ExperimentBase):
     self.splits = splits
     if self.saver.get_latest_ckpt() is not None:
       from rec_attend_tpu.parallel.train_step import make_optimizer
-      tx = make_optimizer(model_cfg)
+      # The opt_state template must match the optimizer the checkpoint was
+      # SAVED under, not the eval-time config — prefer the YAML snapshot
+      # beside the checkpoint (ref saver.py restores opts the same way).
+      tx_cfg = model_cfg
+      try:
+        saved = self.saver.load_opt_dict('model_opt.yaml')
+        tx_cfg = type(model_cfg).from_dict(saved)
+      except Exception:
+        pass
+      tx = make_optimizer(tx_cfg)
       tree = {'params': self.params, 'opt_state': tx.init(self.params)}
-      loaded, self.step = self.saver.restore(tree)
+      try:
+        loaded, self.step = self.saver.restore(tree)
+      except ValueError:
+        # params-only checkpoint (e.g. an exported-weights snapshot)
+        loaded, self.step = self.saver.restore({'params': self.params})
       self.params = loaded['params']
     self.forward = ts_lib.make_forward_fn(
         lambda p, b, cfg, train, key: self.spec.forward_fn(

@@ -73,6 +73,46 @@ def test_training_resume(tmp_path):
   assert exp2.step == 6
 
 
+def test_eval_restore_tolerates_optimizer_mismatch(tmp_path):
+  """A checkpoint saved under momentum must restore into an eval
+  experiment whose current config says adam (the YAML snapshot beside the
+  checkpoint supplies the real optimizer template)."""
+  model_cfg, train_cfg, data_cfg = _tiny_setup(tmp_path, 'fg', num_steps=2)
+  model_cfg = model_cfg.replace(optimizer='momentum')
+  exp = exp_lib.TrainingExperiment('fg', model_cfg, train_cfg, data_cfg)
+  exp.run()
+
+  eval_model_cfg = model_cfg.replace(optimizer='adam')
+  train_cfg2 = train_cfg.replace(
+      restore=os.path.join(train_cfg.results, 'fg_test'))
+  ev = exp_lib.EvalExperiment('fg', eval_model_cfg, train_cfg2, data_cfg,
+                              splits=('valid',))
+  assert ev.step == 2
+  np.testing.assert_allclose(
+      np.asarray(ev.params['cnn'][0]['w']),
+      np.asarray(exp.params['cnn'][0]['w']))
+
+
+def test_eval_restore_params_only_checkpoint(tmp_path):
+  """A params-only npz (no opt_state) must still restore for eval."""
+  model_cfg, train_cfg, data_cfg = _tiny_setup(tmp_path, 'fg', num_steps=2)
+  exp = exp_lib.TrainingExperiment('fg', model_cfg, train_cfg, data_cfg)
+  exp.run()
+  folder = os.path.join(train_cfg.results, 'fg_test')
+  for f in os.listdir(folder):
+    if f.startswith('ckpt-'):
+      os.remove(os.path.join(folder, f))
+  save_pytree(os.path.join(folder, 'ckpt-7.npz'), {'params': exp.params})
+
+  train_cfg2 = train_cfg.replace(restore=folder)
+  ev = exp_lib.EvalExperiment('fg', model_cfg, train_cfg2, data_cfg,
+                              splits=('valid',))
+  assert ev.step == 7
+  np.testing.assert_allclose(
+      np.asarray(ev.params['cnn'][0]['w']),
+      np.asarray(exp.params['cnn'][0]['w']))
+
+
 def test_training_experiment_fg(tmp_path):
   model_cfg, train_cfg, data_cfg = _tiny_setup(tmp_path, 'fg')
   exp = exp_lib.TrainingExperiment('fg', model_cfg, train_cfg, data_cfg)
