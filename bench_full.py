@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""Extended benchmark sweep over the BASELINE.json configs.
+
+Measures eval-forward and train-step wall times for the CVPPP, KITTI and
+Cityscapes shapes (full model), the pallas-vs-einsum glimpse path, and the
+f32-vs-bf16 train step, on whatever backend is active (intended: the real
+TPU chip).  Writes ``docs/BENCH_FULL.json`` and prints a summary.
+
+The one-line contract artifact stays ``bench.py``; this is the committed
+side evidence (VERDICT r1 weak #3/#6).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def _measure(fn, args, iters=30):
+  import jax
+  out = fn(*args)
+  jax.block_until_ready(out)
+  t0 = time.perf_counter()
+  for _ in range(iters):
+    out = fn(*args)
+  jax.block_until_ready(out)
+  return (time.perf_counter() - t0) / iters
+
+
+def _batch(rng, cfg, batch):
+  import jax.numpy as jnp
+  h, w, t = cfg.inp_height, cfg.inp_width, cfg.timespan
+  x = rng.rand(batch, h, w, 3).astype(np.float32)
+  y = np.zeros((batch, t, h, w), np.float32)
+  s = np.zeros((batch, t), np.float32)
+  for b in range(batch):
+    for k in range(3):
+      cy, cx = rng.randint(h // 4, 3 * h // 4), rng.randint(w // 4,
+                                                            3 * w // 4)
+      r = max(4, h // 12)
+      y[b, k, cy - r:cy + r, cx - r:cx + r] = 1.0
+      s[b, k] = 1.0
+  return {'x': jnp.asarray(x), 'y_gt': jnp.asarray(y), 's_gt': jnp.asarray(s)}
+
+
+def bench_config(name, cfg, batch_size, results, train=True):
+  import jax
+  import jax.numpy as jnp
+  from rec_attend_tpu.models import full_model
+  from rec_attend_tpu.parallel import train_step as ts_lib
+
+  key = jax.random.PRNGKey(0)
+  params = full_model.init_full_model(key, cfg)
+  b = _batch(np.random.RandomState(0), cfg, batch_size)
+
+  @jax.jit
+  def fwd(params, batch, key):
+    outputs, _ = full_model.full_model_forward(params, batch, cfg,
+                                               train=False, key=key)
+    return outputs['y_out'], outputs['s_out']
+
+  dt = _measure(fwd, (params, b, key))
+  slots = batch_size * cfg.timespan / dt
+  results[f'{name}/eval_fwd_ms'] = round(dt * 1000, 3)
+  results[f'{name}/eval_instances_per_sec'] = round(slots, 1)
+  print(f'{name}: eval fwd {dt * 1000:.2f} ms  ({slots:,.0f} slots/s)')
+
+  if train:
+    step_fn, tx = ts_lib.make_train_step(full_model.full_model_loss, cfg,
+                                         donate=False)
+    opt_state = tx.init(params)
+    st = jnp.asarray(0.0)
+
+    def tstep(p, o, batch, key):
+      return step_fn(p, o, batch, key, st)
+
+    dt = _measure(tstep, (params, opt_state, b, key), iters=20)
+    results[f'{name}/train_step_ms'] = round(dt * 1000, 3)
+    print(f'{name}: train step {dt * 1000:.2f} ms')
+
+
+def main():
+  import jax
+  from rec_attend_tpu import config
+
+  results = {
+      'backend': jax.devices()[0].platform,
+      'device': str(jax.devices()[0]),
+  }
+
+  base = config.cvppp_full_config().replace(use_knob=True)
+  # BASELINE.json configs 1-5 (cityscapes reuses the kitti-style shape).
+  bench_config('cvppp_224x224_T21_b8_f32',
+               base.replace(use_knob=False, use_pallas=True), 8, results)
+  bench_config('cvppp_einsum_path',
+               base.replace(use_knob=False, use_pallas=False), 8, results,
+               train=False)
+  bench_config('kitti_128x448_T20_b8_f32',
+               config.kitti_full_config().replace(use_knob=False), 8,
+               results)
+  bench_config('cityscapes_256x512_T20_b4_f32',
+               config.cityscapes_full_config().replace(use_knob=False), 4,
+               results)
+  # Crowded-scene stress (config 5): T=40 decode at CVPPP shape.
+  bench_config('stress_224x224_T40_b8_f32',
+               base.replace(use_knob=False, timespan=40), 8, results,
+               train=False)
+  # bf16 vs f32 train step (VERDICT r1 #4).
+  try:
+    bench_config('cvppp_224x224_T21_b8_bf16',
+                 base.replace(use_knob=False, dtype='bfloat16'), 8, results)
+  except Exception as e:   # noqa: BLE001 — record rather than die
+    results['cvppp_224x224_T21_b8_bf16/error'] = repr(e)[:500]
+
+  out = os.path.join(os.path.dirname(os.path.abspath(__file__)), 'docs',
+                     'BENCH_FULL.json')
+  with open(out, 'w') as f:
+    json.dump(results, f, indent=2)
+  print(json.dumps(results, indent=2))
+
+
+if __name__ == '__main__':
+  main()
