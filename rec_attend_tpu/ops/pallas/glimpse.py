@@ -34,10 +34,23 @@ def _interpret():
 # Kernels
 # ---------------------------------------------------------------------------
 
+# VMEM budget per input block (bytes).  v5e has ~16 MiB VMEM/core; the
+# x block is the dominant buffer, so cap it at ~1/4 and let the channel
+# grid dimension cover the rest (VERDICT r1 #10: the unblocked kernel
+# stopped fitting at Cityscapes 256x512 with wide glimpse inputs).
+_VMEM_BLOCK_BUDGET = 4 * 1024 * 1024
+
+
+def _channel_block(d, h, w):
+  per_channel = h * w * 4
+  return max(1, min(d, _VMEM_BLOCK_BUDGET // per_channel))
+
+
 def _extract_kernel(x_ref, fy_ref, fx_ref, out_ref):
-  """One batch element, channels-major (Mosaic-friendly: every op is a 2-D
-  matmul on the (sublane, lane) dims; the channel loop is a static unroll):
-  x [1, D, H, W], f_y [1, H, FH], f_x [1, W, FW] -> out [1, D, FH, FW]."""
+  """One (batch, channel-block) tile, channels-major (Mosaic-friendly:
+  every op is a 2-D matmul on the (sublane, lane) dims; the channel loop
+  is a static unroll of the block size):
+  x [1, DB, H, W], f_y [1, H, FH], f_x [1, W, FW] -> out [1, DB, FH, FW]."""
   _, d, h, w = x_ref.shape
   fy_t = fy_ref[0].T                                    # [FH, H]
   fx = fx_ref[0]                                        # [W, FW]
@@ -47,8 +60,8 @@ def _extract_kernel(x_ref, fy_ref, fx_ref, out_ref):
 
 
 def _paste_kernel(p_ref, fy_ref, fx_ref, out_ref):
-  """One batch element: p [1, D, FH, FW], f_y [1, H, FH], f_x [1, W, FW]
-  -> out [1, D, H, W]."""
+  """One (batch, channel-block) tile: p [1, DB, FH, FW], f_y [1, H, FH],
+  f_x [1, W, FW] -> out [1, DB, H, W]."""
   _, d, fh, fw = p_ref.shape
   fy = fy_ref[0]                                        # [H, FH]
   fx_t = fx_ref[0].T                                    # [FW, W]
@@ -61,19 +74,20 @@ def _extract_call(x, f_y, f_x):
   b, h, w, d = x.shape
   fh = f_y.shape[2]
   fw = f_x.shape[2]
+  db = _channel_block(d, h, w)
   x_cm = jnp.transpose(x, (0, 3, 1, 2))                 # [B, D, H, W]
   out = pl.pallas_call(
       _extract_kernel,
-      grid=(b,),
+      grid=(b, pl.cdiv(d, db)),
       in_specs=[
-          pl.BlockSpec((1, d, h, w), lambda i: (i, 0, 0, 0),
+          pl.BlockSpec((1, db, h, w), lambda i, j: (i, j, 0, 0),
                        memory_space=pltpu.VMEM),
-          pl.BlockSpec((1, h, fh), lambda i: (i, 0, 0),
+          pl.BlockSpec((1, h, fh), lambda i, j: (i, 0, 0),
                        memory_space=pltpu.VMEM),
-          pl.BlockSpec((1, w, fw), lambda i: (i, 0, 0),
+          pl.BlockSpec((1, w, fw), lambda i, j: (i, 0, 0),
                        memory_space=pltpu.VMEM),
       ],
-      out_specs=pl.BlockSpec((1, d, fh, fw), lambda i: (i, 0, 0, 0),
+      out_specs=pl.BlockSpec((1, db, fh, fw), lambda i, j: (i, j, 0, 0),
                              memory_space=pltpu.VMEM),
       out_shape=jax.ShapeDtypeStruct((b, d, fh, fw), jnp.float32),
       interpret=_interpret(),
@@ -85,19 +99,20 @@ def _paste_call(p, f_y, f_x):
   b, fh, fw, d = p.shape
   h = f_y.shape[1]
   w = f_x.shape[1]
+  db = _channel_block(d, h, w)
   p_cm = jnp.transpose(p, (0, 3, 1, 2))                 # [B, D, FH, FW]
   out = pl.pallas_call(
       _paste_kernel,
-      grid=(b,),
+      grid=(b, pl.cdiv(d, db)),
       in_specs=[
-          pl.BlockSpec((1, d, fh, fw), lambda i: (i, 0, 0, 0),
+          pl.BlockSpec((1, db, fh, fw), lambda i, j: (i, j, 0, 0),
                        memory_space=pltpu.VMEM),
-          pl.BlockSpec((1, h, fh), lambda i: (i, 0, 0),
+          pl.BlockSpec((1, h, fh), lambda i, j: (i, 0, 0),
                        memory_space=pltpu.VMEM),
-          pl.BlockSpec((1, w, fw), lambda i: (i, 0, 0),
+          pl.BlockSpec((1, w, fw), lambda i, j: (i, 0, 0),
                        memory_space=pltpu.VMEM),
       ],
-      out_specs=pl.BlockSpec((1, d, h, w), lambda i: (i, 0, 0, 0),
+      out_specs=pl.BlockSpec((1, db, h, w), lambda i, j: (i, j, 0, 0),
                              memory_space=pltpu.VMEM),
       out_shape=jax.ShapeDtypeStruct((b, d, h, w), jnp.float32),
       interpret=_interpret(),

@@ -95,3 +95,25 @@ def test_full_model_with_pallas_path():
   np.testing.assert_allclose(np.asarray(out1['s_out']),
                              np.asarray(out0['s_out']), rtol=1e-3,
                              atol=1e-4)
+
+
+def test_channel_blocked_grid(data, monkeypatch):
+  """Force a tiny VMEM budget so the channel grid dimension engages (>1
+  block); results must still match the einsum path exactly."""
+  x, f_y, f_x, p = data
+  h, w = x.shape[1], x.shape[2]
+  monkeypatch.setattr(gk, '_VMEM_BLOCK_BUDGET', h * w * 4)  # 1 ch/block
+  assert gk._channel_block(x.shape[3], h, w) == 1
+  got = np.asarray(gk.extract_patch(x, f_y, f_x))
+  want = np.asarray(attention.extract_patch(x, f_y, f_x))
+  np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+  got_p = np.asarray(gk.paste_patch(p, f_y, f_x))
+  want_p = np.asarray(attention.paste_patch(p, f_y, f_x))
+  np.testing.assert_allclose(got_p, want_p, rtol=1e-4, atol=1e-5)
+
+
+def test_channel_block_sizing():
+  """Cityscapes-sized inputs must stay under the VMEM block budget."""
+  db = gk._channel_block(21, 256, 512)
+  assert 1 <= db <= 21
+  assert db * 256 * 512 * 4 <= gk._VMEM_BLOCK_BUDGET
