@@ -99,6 +99,50 @@ def run_kitti(args):
   log.info(f'Pipeline done: {full_id}')
 
 
+def run_cityscapes(args):
+  """ref run_cityscapes.sh: fg (40k) -> pack(train,valid,test) -> box (60k)
+  -> read -> full (70k) -> pack -> cityscapes_eval per split."""
+  from rec_attend_tpu.cli import cityscapes_eval as cs_eval_cli
+  log = logger.get()
+  model_id = assign_model_id()
+  fg_id = f'fg_model_cityscapes-{model_id}'
+  box_id = f'box_model_cityscapes-{model_id}'
+  full_id = f'full_model_cityscapes-{model_id}'
+  data_cfg = C.data_config_for('cityscapes', args.dataset_folder)
+  paper = args.scale == 'paper'
+
+  fg_cfg = C.cityscapes_fg_config()
+  train_cfg = C.TrainConfig(model_id=fg_id,
+                            num_steps=40000 if paper else (args.num_steps
+                                                           or 100),
+                            batch_size=8, save_ckpt=True, prefetch=True,
+                            results=args.results, logs=args.logs)
+  TrainingExperiment('fg', fg_cfg, train_cfg, data_cfg).run()
+  pack_cli.fg_main(['--model_id', fg_id, '--results', args.results,
+                    '--dataset', 'cityscapes',
+                    '--split', 'train,valid,test'])
+
+  box_cfg = C.cityscapes_box_config()
+  train_cfg = train_cfg.replace(model_id=box_id, batch_size=4,
+                                num_steps=60000 if paper else
+                                (args.num_steps or 100))
+  TrainingExperiment('box', box_cfg, train_cfg, data_cfg).run()
+  weights = read_weights.box_main(
+      ['--model_id', box_id, '--results', args.results])
+
+  full_cfg = C.cityscapes_full_config().replace(pretrain_ctrl_net=weights)
+  train_cfg = train_cfg.replace(model_id=full_id, batch_size=2,
+                                num_steps=70000 if paper else
+                                (args.num_steps or 100))
+  TrainingExperiment('full', full_cfg, train_cfg, data_cfg).run()
+  pack_cli.full_main(['--model_id', full_id, '--results', args.results,
+                      '--dataset', 'cityscapes', '--split', 'valid,test'])
+  for split in ('valid', 'test'):
+    cs_eval_cli.main(['--model_id', full_id, '--results', args.results,
+                      '--split', split])
+  log.info(f'Pipeline done: {full_id}')
+
+
 def run_synth(args):
   """End-to-end pipeline on the synthetic dataset.
 
@@ -170,9 +214,10 @@ def main():
     run_kitti(args)
   elif args.dataset == 'synth':
     run_synth(args)
+  elif args.dataset == 'cityscapes':
+    run_cityscapes(args)
   else:
-    raise NotImplementedError(
-        'cityscapes pipeline: use run_kitti stages + cityscapes_eval')
+    raise ValueError(f'Unknown dataset {args.dataset}')
 
 
 if __name__ == '__main__':

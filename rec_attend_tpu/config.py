@@ -620,6 +620,48 @@ def cityscapes_full_config() -> FullModelConfig:
       inp_width=d['inp_width'], num_semantic_classes=9)
 
 
+def cityscapes_fg_config() -> FGModelConfig:
+  """ref run_cityscapes.sh:9-33 (20-conv FCN, 9 semantic + 8 orientation
+  classes; the shell's 21-length cnn_skip counts the input image, our
+  mask convention counts layers)."""
+  d = DATASET_DIMS['cityscapes']
+  t = DATASET_TRANSFORMS['cityscapes']
+  return FGModelConfig(
+      inp_height=d['inp_height'], inp_width=d['inp_width'],
+      cnn_filter_size=(3,) * 20,
+      cnn_depth=(64, 96, 96, 128, 128, 192, 192, 256, 256, 256, 256, 256,
+                 256, 256, 256, 512, 512, 512, 512, 512),
+      cnn_pool=(1, 2, 1, 2, 1, 2, 1, 2, 1, 1, 1, 1, 1, 1, 1, 2, 1, 1, 1, 2),
+      cnn_skip_mask=(1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 1,
+                     0, 0),
+      dcnn_filter_size=(3,) * 13,
+      dcnn_depth=(512, 512, 256, 256, 192, 192, 128, 128, 96, 96, 64, 64,
+                  17),
+      dcnn_pool=(2, 1, 2, 1, 2, 1, 2, 1, 2, 1, 2, 1, 1),
+      dcnn_skip_mask=(1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 1, 0, 0),
+      add_skip_conn=True, segm_loss_fn='bce',
+      add_orientation=True, num_orientation_classes=8,
+      num_semantic_classes=9,
+      optimizer='momentum', base_learn_rate=0.01, learn_rate_decay=0.8,
+      steps_per_learn_rate_decay=10000, **t)
+
+
+def cityscapes_box_config() -> BoxModelConfig:
+  """ref run_cityscapes.sh:40-56."""
+  d = DATASET_DIMS['cityscapes']
+  t = DATASET_TRANSFORMS['cityscapes']
+  return BoxModelConfig(
+      timespan=d['timespan'], inp_height=d['inp_height'],
+      inp_width=d['inp_width'],
+      ctrl_cnn_filter_size=(3,) * 8,
+      ctrl_cnn_depth=(16, 16, 32, 32, 64, 64, 64, 64),
+      ctrl_cnn_pool=(2, 2, 1, 2, 1, 2, 1, 2),
+      num_ctrl_mlp_layers=1, dynamic_var=True,
+      add_d_out=True, add_y_out=True, num_semantic_classes=9,
+      base_learn_rate=0.001, learn_rate_decay=0.85,
+      steps_per_learn_rate_decay=5000, remat=True, **t)
+
+
 def tiny_full_config(**overrides) -> FullModelConfig:
   """Small config for tests/CI: 64x64 images, short timespan."""
   base = dict(
