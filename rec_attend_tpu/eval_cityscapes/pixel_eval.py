@@ -191,3 +191,56 @@ class PixelEvaluator:
         f"category IoU: {result['meanCategoryIoU']:.4f}  "
         f"category iIoU: {result['meanCategoryInstIoU']:.4f}")
     return result
+
+
+def main(argv=None):
+  """CLI mirroring the official pixel-eval driver: pairs each gt
+  `*_labelIds.png` under the dataset with a prediction png of the same
+  city_seq_frame stem under --predictions (ref
+  evalPixelLevelSemanticLabeling.py:638-658)."""
+  import argparse
+  import glob
+  import json
+  import os
+
+  import cv2
+
+  parser = argparse.ArgumentParser()
+  parser.add_argument('--predictions',
+                      default=os.environ.get('CITYSCAPES_RESULTS'))
+  parser.add_argument('--dataset',
+                      default=os.environ.get('CITYSCAPES_DATASET'))
+  parser.add_argument('--split',
+                      default=os.environ.get('CITYSCAPES_SPLIT', 'val'))
+  parser.add_argument('--export', default=None)
+  args = parser.parse_args(argv)
+
+  gt_files = sorted(glob.glob(os.path.join(
+      args.dataset, 'gtFine', args.split, '*', '*_gtFine_labelIds.png')))
+  if not gt_files:
+    raise FileNotFoundError(
+        f'no *_labelIds.png under {args.dataset}/gtFine/{args.split}')
+  ev = PixelEvaluator()
+  for gt_file in gt_files:
+    stem = '_'.join(os.path.basename(gt_file).split('_')[:3])
+    hits = glob.glob(os.path.join(args.predictions, '**', f'{stem}*.png'),
+                     recursive=True)
+    if not hits:
+      raise FileNotFoundError(f'no prediction for {gt_file}')
+    pred = cv2.imread(hits[0], cv2.IMREAD_GRAYSCALE)
+    gt = cv2.imread(gt_file, cv2.IMREAD_GRAYSCALE)
+    inst_file = gt_file.replace('labelIds', 'instanceIds')
+    inst = (cv2.imread(inst_file, -1) if os.path.exists(inst_file)
+            else None)
+    ev.add_pair(pred, gt,
+                instance_img=None if inst is None
+                else inst.astype('int64'))
+  result = ev.finalize()
+  if args.export:
+    with open(args.export, 'w') as f:
+      json.dump(result, f, indent=2)
+  return result
+
+
+if __name__ == '__main__':
+  main()

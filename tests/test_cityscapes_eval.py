@@ -226,6 +226,39 @@ def test_pixel_evaluator_without_instances_matches_legacy():
   assert np.isnan(result['meanInstIoU'])
 
 
+def test_pixel_eval_cli_end_to_end(tmp_path):
+  """Full pixel-eval driver over files produced by the preparation twin."""
+  import json as json_lib
+  from rec_attend_tpu.data import cityscapes_prep as prep
+  from rec_attend_tpu.eval_cityscapes import pixel_eval
+
+  root = tmp_path / 'cs'
+  gt_dir = root / 'gtFine' / 'val' / 'samplecity'
+  os.makedirs(gt_dir)
+  j = str(gt_dir / 'samplecity_000000_000019_gtFine_polygons.json')
+  with open(j, 'w') as f:
+    json_lib.dump({'imgHeight': 64, 'imgWidth': 96, 'objects': [
+        {'label': 'road',
+         'polygon': [[0, 32], [95, 32], [95, 63], [0, 63]]},
+        {'label': 'car', 'polygon': [[5, 40], [25, 40], [25, 60], [5, 60]]},
+    ]}, f)
+  prep.json2label_img(j, j.replace('_polygons.json', '_labelIds.png'))
+  prep.json2instance_img(j, j.replace('_polygons.json',
+                                      '_instanceIds.png'))
+
+  pred_dir = tmp_path / 'preds'
+  os.makedirs(pred_dir)
+  gt_png = j.replace('_polygons.json', '_labelIds.png')
+  import shutil
+  shutil.copy(gt_png, str(pred_dir / 'samplecity_000000_000019_pred.png'))
+
+  result = pixel_eval.main(['--predictions', str(pred_dir),
+                            '--dataset', str(root), '--split', 'val'])
+  np.testing.assert_allclose(result['classes']['car'], 1.0)
+  np.testing.assert_allclose(result['classesInst']['car'], 1.0)
+  np.testing.assert_allclose(result['categories']['vehicle'], 1.0)
+
+
 def test_submission_roundtrip_with_renderer(tmp_path):
   """The analysis writer's output parses through the official evaluator."""
   from rec_attend_tpu import analysis
