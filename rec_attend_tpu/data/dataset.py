@@ -23,10 +23,41 @@ NUM_ORI_CLASSES = 8
 
 class InsSegDataset:
 
-  def __init__(self, h5_fname):
+  def __init__(self, h5_fname, cache_bytes=512 << 20):
     self.log = logger.get()
     self.h5_fname = h5_fname
     self.img_ids = self._read_ids()
+    # Decoded-PNG cache: PNG decode dominates the host batch path (the
+    # device step is ~ms; one uncached 224^2 batch-8 decode is ~55 ms on
+    # one core), and these datasets are small enough to pin decoded.
+    # Arrays are stored read-only; callers copy via astype().
+    import threading
+    self._cache = {}
+    self._cache_bytes = 0
+    self._cache_cap = cache_bytes
+    self._cache_lock = threading.Lock()
+
+  def _dec(self, h5f, path, flags=None):
+    """png_decode with a bounded, thread-safe, read-only cache."""
+    hit = self._cache.get(path)
+    if hit is not None:
+      return hit
+    blob = h5f[path][:]
+    arr = png_decode(blob) if flags is None else png_decode(blob, flags)
+    with self._cache_lock:
+      if (self._cache_cap and path not in self._cache
+          and self._cache_bytes + arr.nbytes <= self._cache_cap):
+        arr.setflags(write=False)
+        self._cache[path] = arr
+        self._cache_bytes += arr.nbytes
+    return arr
+
+  def clear_cache(self):
+    """Drop cached decodes (call after packing predictions back into the
+    H5 so re-reads see the new data)."""
+    with self._cache_lock:
+      self._cache = {}
+      self._cache_bytes = 0
 
   def _read_ids(self):
     with h5py.File(self.h5_fname, 'r') as h5f:
@@ -95,7 +126,7 @@ class InsSegDataset:
       created = False
       for kk, ii in enumerate(img_ids):
         group = h5f[self.get_str_id(ii)]
-        x = png_decode(group['input'][:])
+        x = self._dec(h5f, f'{group.name}/input')
         h, w = x.shape[0], x.shape[1]
         d = x.shape[2] if x.ndim == 3 else 1
         area_sort = None
@@ -136,8 +167,8 @@ class InsSegDataset:
         if 'y_gt' in variables and 'label_segmentation' in group:
           seg_group = group['label_segmentation']
           num_obj = len(seg_group.keys())
-          segs = [png_decode(seg_group[f'{jj:02d}'][:]).astype('float32')
-                  for jj in range(num_obj)]
+          segs = [self._dec(h5f, f'{seg_group.name}/{jj:02d}')
+                  .astype('float32') for jj in range(num_obj)]
           area = np.array([s.sum() for s in segs])
           area_sort = np.argsort(area)[::-1]
           for jj in range(min(num_obj, timespan)):
@@ -163,8 +194,8 @@ class InsSegDataset:
             raise KeyError('Key not found: instance_pred')
           g = group['instance_pred']
           for jj in range(len(g.keys())):
-            results['y_out_ins'][kk, jj] = png_decode(
-                g[f'{jj:02d}'][:]).astype('float32') / 255
+            results['y_out_ins'][kk, jj] = self._dec(
+                h5f, f'{g.name}/{jj:02d}').astype('float32') / 255
 
         if 'c_gt' in variables and 'label_semantic_segmentation' in group:
           g = group['label_semantic_segmentation']
@@ -172,12 +203,12 @@ class InsSegDataset:
             for jj in range(num_sem):
               cstr = f'{jj:02d}'
               if cstr in g:
-                results['c_gt'][kk, :, :, jj + 1] = png_decode(
-                    g[cstr][:]).astype('float32')
+                results['c_gt'][kk, :, :, jj + 1] = self._dec(
+                    h5f, f'{g.name}/{cstr}').astype('float32')
             results['c_gt'][kk, :, :, 0] = 1 - results['c_gt'][kk].max(axis=2)
           else:
-            results['c_gt'][kk, :, :, 0] = png_decode(
-                g['00'][:]).astype('float32')
+            results['c_gt'][kk, :, :, 0] = self._dec(
+                h5f, f'{g.name}/00').astype('float32')
 
         if 'c_gt_idx' in variables and 'instance_semantic_classes' in group:
           c_gt_idx = group['instance_semantic_classes'][:]
@@ -190,7 +221,8 @@ class InsSegDataset:
             results['c_gt_idx'][kk, jj, 0] = 1.0
 
         if 'd_gt' in variables and 'orientation' in group:
-          ori = png_decode(group['orientation'][:]).astype('float32')
+          ori = self._dec(h5f,
+                          f'{group.name}/orientation').astype('float32')
           for oo in range(NUM_ORI_CLASSES):
             results['d_gt'][kk, :, :, oo] = (ori == oo).astype('float32')
 
@@ -200,18 +232,16 @@ class InsSegDataset:
 
         if 'd_out' in variables:
           for oo in range(NUM_ORI_CLASSES):
-            arr = png_decode(group[f'orientation_pred/{oo:02d}'][:])
+            arr = self._dec(h5f, f'{group.name}/orientation_pred/{oo:02d}')
             results['d_out'][kk, :, :, oo] = arr.astype('float32') / 255
 
         if 'y_out' in variables:
           for cc in range(nc):
             key = f'foreground_pred/{cc:02d}'
             if nc == 1 and key not in group:
-              buf = group['foreground_pred'][:]
-            else:
-              buf = group[key][:]
-            results['y_out'][kk, :, :, cc] = png_decode(
-                buf).astype('float32') / 255
+              key = 'foreground_pred'
+            results['y_out'][kk, :, :, cc] = self._dec(
+                h5f, f'{group.name}/{key}').astype('float32') / 255
 
         if 's_out' in variables:
           results['s_out'][kk] = group['score_pred'][:]
