@@ -167,9 +167,11 @@ class InsSegDataset:
         if 'y_gt' in variables and 'label_segmentation' in group:
           seg_group = group['label_segmentation']
           num_obj = len(seg_group.keys())
+          # Keep decoded uint8 masks; assignment into the f32 batch array
+          # converts in place (no per-mask astype copies).
           segs = [self._dec(h5f, f'{seg_group.name}/{jj:02d}')
-                  .astype('float32') for jj in range(num_obj)]
-          area = np.array([s.sum() for s in segs])
+                  for jj in range(num_obj)]
+          area = np.array([int(s.sum()) for s in segs])
           area_sort = np.argsort(area)[::-1]
           for jj in range(min(num_obj, timespan)):
             results['y_gt'][kk, jj] = segs[area_sort[jj]]
