@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Resume the paper-scale synth pipeline from a box checkpoint.
+
+Continues box training to its target step count, then runs the remaining
+stages (read-weights -> full train -> eval) exactly as
+run_pipeline.run_synth(scale='paper') would.
+
+Usage:
+  python pipelines/resume_synth_paper.py --box_id box_model_synth-XXXX \
+      [--results results] [--logs logs] [--dataset_folder data/synth224]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))))
+
+from rec_attend_tpu import config as C
+from rec_attend_tpu.cli import eval as eval_cli
+from rec_attend_tpu.cli import read_weights
+from rec_attend_tpu.engine.experiment import TrainingExperiment
+from rec_attend_tpu.utils import logger
+
+
+def main():
+  parser = argparse.ArgumentParser()
+  parser.add_argument('--box_id', required=True)
+  parser.add_argument('--results', default='results')
+  parser.add_argument('--logs', default='logs')
+  parser.add_argument('--dataset_folder', default='data/synth224')
+  parser.add_argument('--box_steps', default=12000, type=int)
+  parser.add_argument('--full_steps', default=20000, type=int)
+  parser.add_argument('--skip_box', action='store_true')
+  args = parser.parse_args()
+  log = logger.get()
+
+  data_cfg = C.DataConfig(dataset='synth', folder=args.dataset_folder,
+                          height=224, width=224, timespan=21,
+                          num_examples=256, max_objects=9)
+  cadence = dict(steps_per_valid=250, steps_per_trainval=250,
+                 steps_per_plot=0, num_batch_valid=4, prefetch=True,
+                 num_worker=2)
+  full_id = args.box_id.replace('box_model', 'full_model')
+
+  if not args.skip_box:
+    box_cfg = C.cvppp_box_config()
+    train_cfg = C.TrainConfig(
+        model_id=args.box_id, num_steps=args.box_steps, batch_size=8,
+        save_ckpt=True, results=args.results, logs=args.logs,
+        restore=os.path.join(args.results, args.box_id), **cadence)
+    exp = TrainingExperiment('box', box_cfg, train_cfg, data_cfg)
+    exp.restore_ckpt()
+    log.info(f'Resumed box at step {exp.step}')
+    exp.run()
+
+  weights = read_weights.box_main(
+      ['--model_id', args.box_id, '--results', args.results])
+
+  full_cfg = C.cvppp_full_config().replace(pretrain_ctrl_net=weights)
+  train_cfg = C.TrainConfig(
+      model_id=full_id, num_steps=args.full_steps, batch_size=8,
+      save_ckpt=True, results=args.results, logs=args.logs, **cadence)
+  TrainingExperiment('full', full_cfg, train_cfg, data_cfg).run()
+
+  eval_cli.full_main(['--model_id', full_id, '--results', args.results,
+                      '--dataset', 'synth', '--split', 'valid',
+                      '--batch_size', '8',
+                      '--dataset_folder', args.dataset_folder])
+  log.info(f'Pipeline done: {full_id}')
+
+
+if __name__ == '__main__':
+  main()
