@@ -43,7 +43,17 @@ def _batch(rng, cfg, batch):
       r = max(4, h // 12)
       y[b, k, cy - r:cy + r, cx - r:cx + r] = 1.0
       s[b, k] = 1.0
-  return {'x': jnp.asarray(x), 'y_gt': jnp.asarray(y), 's_gt': jnp.asarray(s)}
+  out = {'x': jnp.asarray(x), 'y_gt': jnp.asarray(y),
+         's_gt': jnp.asarray(s)}
+  # KITTI/Cityscapes presets consume packed fg/orientation channels.
+  flags = cfg.resolved_input_flags()
+  if flags['ctrl_add_d_out'] or flags['attn_add_d_out']:
+    out['d_in'] = jnp.asarray(
+        rng.rand(batch, h, w, 8).astype(np.float32))
+  if flags['ctrl_add_y_out'] or flags['attn_add_y_out']:
+    out['y_in'] = jnp.asarray(
+        rng.rand(batch, h, w, cfg.num_semantic_classes).astype(np.float32))
+  return out
 
 
 def bench_config(name, cfg, batch_size, results, train=True):

@@ -53,7 +53,7 @@ def main():
         save_ckpt=True, results=args.results, logs=args.logs,
         restore=os.path.join(args.results, args.box_id), **cadence)
     exp = TrainingExperiment('box', box_cfg, train_cfg, data_cfg)
-    exp.restore_ckpt()
+    # __init__ already restored via train_cfg.restore when a ckpt exists.
     log.info(f'Resumed box at step {exp.step}')
     exp.run()
 

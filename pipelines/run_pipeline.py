@@ -139,7 +139,9 @@ def run_cityscapes(args):
                       '--dataset', 'cityscapes', '--split', 'valid,test'])
   for split in ('valid', 'test'):
     cs_eval_cli.main(['--model_id', full_id, '--results', args.results,
-                      '--split', split])
+                      '--dataset', 'cityscapes', '--split', split]
+                     + (['--dataset_folder', args.dataset_folder]
+                        if args.dataset_folder else []))
   log.info(f'Pipeline done: {full_id}')
 
 

@@ -50,6 +50,7 @@ def fg_main(argv=None):
             ds.h5_fname, sid, foreground=np.asarray(y_out[ii]),
             orientation=(np.asarray(d_out[ii]) if d_out is not None
                          else None))
+    ds.clear_cache()   # re-reads must see the packed predictions
     log.info(f'Packed fg predictions into {ds.h5_fname} ({split})')
 
 
@@ -78,4 +79,5 @@ def full_main(argv=None):
         pack_predictions(ds.h5_fname, sid,
                          instance=np.asarray(y_out[ii]),
                          score=np.asarray(s_out[ii]))
+    ds.clear_cache()   # re-reads must see the packed predictions
     log.info(f'Packed instance predictions into {ds.h5_fname} ({split})')

@@ -122,17 +122,20 @@ class ConcurrentBatchIterator:
     self._threads = [self._spawn() for _ in range(self._num_threads)]
 
   def _producer(self):
+    # Clean exits are tracked by Thread object, not ident — the OS
+    # recycles idents, which could make a crashed relaunch look clean.
+    me = threading.current_thread()
     try:
       while not self._stopped.is_set():
         try:
           batch = next(self._iter)
         except StopIteration:
-          self._clean_exits.add(threading.get_ident())
+          self._clean_exits.add(me)
           self._exhausted.set()
           self._q.put(None)
           return
         self._q.put(batch)
-      self._clean_exits.add(threading.get_ident())
+      self._clean_exits.add(me)
     except Exception as e:   # noqa: BLE001 — scan() relaunches the worker
       from rec_attend_tpu.utils import logger
       logger.get().error(f'Batch producer thread died: {e!r}')
@@ -144,7 +147,7 @@ class ConcurrentBatchIterator:
       if self._stopped.is_set():
         return
       for i, t in enumerate(self._threads):
-        if not t.is_alive() and t.ident not in self._clean_exits:
+        if not t.is_alive() and t not in self._clean_exits:
           if self._relaunches >= self.MAX_RELAUNCH:
             raise RuntimeError(
                 f'Batch producer crashed > {self.MAX_RELAUNCH} times; '

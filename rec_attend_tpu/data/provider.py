@@ -38,18 +38,34 @@ def get(dataset_name, data_opt, split='train', h5_fname=None):
     if h5_fname is None:
       h5_fname = os.path.join(folder, '{}_{}x{}.h5'.format(
           split, opt['height'], opt['width']))
-    if not os.path.exists(h5_fname):
-      os.makedirs(os.path.dirname(h5_fname), exist_ok=True)
-      seed = {'train': 3, 'valid': 4, 'test': 5}.get(split, 6)
-      num = int(opt.get('num_examples', 32) or 32)
-      if split != 'train':
-        num = max(num // 4, 8)
-      return make_synthetic_h5(h5_fname, height=opt['height'],
-                               width=opt['width'], seed=seed,
-                               num_examples=num,
-                               max_objects=int(opt.get('max_objects', 4)
-                                               or 4))
-    return Synthetic(h5_fname)
+    import json
+    seed = {'train': 3, 'valid': 4, 'test': 5}.get(split, 6)
+    num = int(opt.get('num_examples', 32) or 32)
+    if split != 'train':
+      num = max(num // 4, 8)
+    gen = dict(num_examples=num, seed=seed,
+               max_objects=int(opt.get('max_objects', 4) or 4))
+    meta_fname = h5_fname + '.meta.json'
+    if os.path.exists(h5_fname):
+      # The generation knobs are not part of the filename convention, so
+      # a stale file with different knobs must not be silently reused.
+      meta = None
+      if os.path.exists(meta_fname):
+        with open(meta_fname) as f:
+          meta = json.load(f)
+      if meta == gen:
+        return Synthetic(h5_fname)
+      from rec_attend_tpu.utils import logger
+      logger.get().warning(
+          f'Regenerating {h5_fname}: generation knobs changed '
+          f'({meta} -> {gen}); packed predictions, if any, are lost')
+      os.remove(h5_fname)
+    os.makedirs(os.path.dirname(h5_fname), exist_ok=True)
+    ds = make_synthetic_h5(h5_fname, height=opt['height'],
+                           width=opt['width'], **gen)
+    with open(meta_fname, 'w') as f:
+      json.dump(gen, f)
+    return ds
   else:
     raise ValueError(f'Unknown dataset name: {dataset_name}')
   if h5_fname is None:

@@ -259,17 +259,25 @@ class TrainingExperiment(ExperimentBase):
     t_window = time.time()
     window_steps = 0
     while self.step < cfg.num_steps:
+      did_cadence = False
       # Validation cadence (ref experiment.py:247-255).
       if (cfg.has_valid and self.step % cfg.steps_per_valid == 0
           and self.valid_iter is not None):
         self._eval_pass(self.valid_iter,
                         min(cfg.num_batch_valid, 2 if self.step == start
                             else cfg.num_batch_valid), 'valid')
+        did_cadence = True
       if self.step % cfg.steps_per_trainval == 0:
         self._eval_pass(self.train_iter, 1, 'train')
+        did_cadence = True
       if (self.plot_fn is not None and cfg.steps_per_plot > 0
           and self.step % cfg.steps_per_plot == 0):
         self.plot_fn(self)
+        did_cadence = True
+      if did_cadence:
+        # Keep eval/plot time out of the train step_time channel.
+        t_window = time.time()
+        window_steps = 0
 
       batch = next(self.train_iter)
       self.key, k = jax.random.split(self.key)

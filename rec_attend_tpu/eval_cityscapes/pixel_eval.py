@@ -227,6 +227,9 @@ def main(argv=None):
                      recursive=True)
     if not hits:
       raise FileNotFoundError(f'no prediction for {gt_file}')
+    # Deterministic pick: the shortest basename is the bare prediction
+    # (not a *_overlay/per-class sibling sharing the stem).
+    hits.sort(key=lambda p: (len(os.path.basename(p)), p))
     pred = cv2.imread(hits[0], cv2.IMREAD_GRAYSCALE)
     gt = cv2.imread(gt_file, cv2.IMREAD_GRAYSCALE)
     inst_file = gt_file.replace('labelIds', 'instanceIds')

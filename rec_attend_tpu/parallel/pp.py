@@ -121,12 +121,22 @@ def fg_pipeline_stages(cfg):
   return stage0, stage1
 
 
+_EXECUTOR_CACHE = {}
+
+
 def fg_pipeline_forward(params, batch, cfg, devices=None,
                         num_microbatches=2):
-  """Pipelined FG inference over 2 devices; returns the outputs dict."""
+  """Pipelined FG inference over 2 devices; returns the outputs dict.
+
+  Executors (and their jitted stages) are cached per (config, devices) so
+  repeated calls reuse the compiled stages instead of re-jitting."""
   if devices is None:
     devices = jax.devices()
-  s0, s1 = fg_pipeline_stages(cfg)
-  ex = PipelineExecutor([s0, s1], devices)
+  key = (cfg, tuple(devices[:2]))
+  ex = _EXECUTOR_CACHE.get(key)
+  if ex is None:
+    s0, s1 = fg_pipeline_stages(cfg)
+    ex = PipelineExecutor([s0, s1], devices)
+    _EXECUTOR_CACHE[key] = ex
   return ex.run_batched([params['cnn'], params['dcnn']], batch,
                         num_microbatches)
