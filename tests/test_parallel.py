@@ -167,3 +167,31 @@ def test_multihost_helpers_single_process(tiny):
   metrics = ev(mesh_lib.replicate(mesh, params), gbatch,
                mesh_lib.replicate(mesh, jax.random.PRNGKey(0)))
   assert np.isfinite(float(metrics['loss']))
+
+
+def test_batch_wire_encoding_roundtrip():
+  """uint8 wire encoding round-trips PNG-sourced images and binary masks
+  to within 1 ULP (XLA lowers /255 to a reciprocal multiply), and decode
+  passes float inputs through untouched."""
+  rng = np.random.RandomState(0)
+  x_u8 = rng.randint(0, 256, (2, 8, 8, 3)).astype(np.uint8)
+  batch = {
+      'x': x_u8.astype(np.float32) / 255.0,
+      'y_gt': (rng.rand(2, 3, 8, 8) > 0.5).astype(np.float32),
+      's_gt': rng.rand(2, 3).astype(np.float32),   # not quantized
+  }
+  enc = ts_lib.encode_batch(batch)
+  assert enc['x'].dtype == np.uint8
+  assert enc['y_gt'].dtype == np.uint8
+  assert enc['s_gt'].dtype == np.float32
+  dec = jax.jit(ts_lib.decode_batch)(
+      {k: jnp.asarray(v) for k, v in enc.items()})
+  np.testing.assert_allclose(np.asarray(dec['x']), batch['x'],
+                             rtol=0, atol=1e-6)
+  np.testing.assert_allclose(np.asarray(dec['y_gt']), batch['y_gt'],
+                             rtol=0, atol=1e-6)
+  np.testing.assert_array_equal(np.asarray(dec['s_gt']), batch['s_gt'])
+  # decode is idempotent on un-encoded float batches
+  dec2 = jax.jit(ts_lib.decode_batch)(
+      {k: jnp.asarray(v) for k, v in batch.items()})
+  np.testing.assert_array_equal(np.asarray(dec2['x']), batch['x'])
