@@ -61,10 +61,16 @@ def main():
       ['--model_id', args.box_id, '--results', args.results])
 
   full_cfg = C.cvppp_full_config().replace(pretrain_ctrl_net=weights)
+  full_folder = os.path.join(args.results, full_id)
+  full_restore = full_folder if os.path.isdir(full_folder) else None
   train_cfg = C.TrainConfig(
       model_id=full_id, num_steps=args.full_steps, batch_size=8,
-      save_ckpt=True, results=args.results, logs=args.logs, **cadence)
-  TrainingExperiment('full', full_cfg, train_cfg, data_cfg).run()
+      save_ckpt=True, results=args.results, logs=args.logs,
+      restore=full_restore, **cadence)
+  exp = TrainingExperiment('full', full_cfg, train_cfg, data_cfg)
+  if full_restore:
+    log.info(f'Resumed full at step {exp.step}')
+  exp.run()
 
   eval_cli.full_main(['--model_id', full_id, '--results', args.results,
                       '--dataset', 'synth', '--split', 'valid',

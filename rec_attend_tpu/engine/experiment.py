@@ -261,13 +261,14 @@ class TrainingExperiment(ExperimentBase):
     while self.step < cfg.num_steps:
       did_cadence = False
       # Validation cadence (ref experiment.py:247-255).
-      if (cfg.has_valid and self.step % cfg.steps_per_valid == 0
+      if (cfg.has_valid and cfg.steps_per_valid > 0
+          and self.step % cfg.steps_per_valid == 0
           and self.valid_iter is not None):
         self._eval_pass(self.valid_iter,
                         min(cfg.num_batch_valid, 2 if self.step == start
                             else cfg.num_batch_valid), 'valid')
         did_cadence = True
-      if self.step % cfg.steps_per_trainval == 0:
+      if cfg.steps_per_trainval > 0 and self.step % cfg.steps_per_trainval == 0:
         self._eval_pass(self.train_iter, 1, 'train')
         did_cadence = True
       if (self.plot_fn is not None and cfg.steps_per_plot > 0
