@@ -155,3 +155,14 @@ def test_saver_max_to_keep(tmp_path):
   assert steps == [3, 4]
   tree, step = saver.restore({'x': np.zeros(1)})
   assert step == 4 and tree['x'][0] == 4
+
+
+def test_training_cadences_disabled(tmp_path):
+  """steps_per_valid/steps_per_trainval of 0 disable the cadence (they
+  used to raise ZeroDivisionError in the train loop)."""
+  model_cfg, train_cfg, data_cfg = _tiny_setup(tmp_path, 'fg', num_steps=2)
+  train_cfg = train_cfg.replace(steps_per_valid=0, steps_per_trainval=0,
+                                steps_per_plot=0, save_ckpt=False)
+  exp = exp_lib.TrainingExperiment('fg', model_cfg, train_cfg, data_cfg)
+  exp.run()
+  assert exp.step == 2
