@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
 PAPER_TARGETS = {
     # CVPR-2017 paper numbers on *real* CVPPP A1 test (BASELINE.md).
     'sbd': ('CVPPP A1 SBD', 0.849),
-    'dic': ('CVPPP A1 |DiC|', 0.8),
+    'dic_abs': ('CVPPP A1 |DiC|', 0.8),
 }
 
 
@@ -151,7 +151,8 @@ def main():
   w('| Metric | Mean | Std | Paper target (real CVPPP, context) |')
   w('|---|---|---|---|')
   order = ['sbd', 'wt_cov', 'unwt_cov', 'avg_fp', 'avg_fn', 'count_acc',
-           'count_mse', 'dic', 'dic_abs', 'pixel_pr', 'object_pr']
+           'count_mse', 'dic', 'dic_abs', 'avg_pr', 'avg_re', 'obj_pr',
+           'obj_re']
   names = list(dict.fromkeys(order + sorted(metrics)))
   for name in names:
     if name not in metrics:
