@@ -34,10 +34,17 @@ def _measure(fn, *args, iters=20):
 
 
 def main():
+  import argparse
   import jax
   import jax.numpy as jnp
   from rec_attend_tpu import config as C
   from rec_attend_tpu.nn import layers
+
+  ap = argparse.ArgumentParser()
+  # Each (layer, dtype) pair is one XLA compile (~30-60 s via the tunnel);
+  # default probes alternating layers to keep the sweep ~5 min.
+  ap.add_argument('--layers', default='0,2,4,6')
+  probe_layers = {int(v) for v in ap.parse_args().layers.split(',') if v}
 
   cfg = C.cvppp_full_config()
   b, h, w = 8, cfg.inp_height, cfg.inp_width
@@ -72,6 +79,11 @@ def main():
   res = h
   chan = cin
   for i, (d, p, fs) in enumerate(zip(depths, pools, fsizes)):
+    if i not in probe_layers:
+      chan = d
+      if p > 1:
+        res //= p
+      continue
     xl = jnp.asarray(rng.rand(b, res, res if w == h else res * w // h,
                               chan).astype(np.float32))
     wkey = jax.random.PRNGKey(i)
