@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import os
 
 from rec_attend_tpu import config as C
 
@@ -79,7 +80,25 @@ def add_data_args(parser):
   parser.add_argument('--dataset_folder', default=None)
 
 
-def make_data_config(args) -> C.DataConfig:
+def make_data_config(args, restore=None) -> C.DataConfig:
+  """Dataset config for a CLI invocation.
+
+  When ``restore`` points at a training results folder, the data_opt.yaml
+  snapshot saved beside the checkpoint wins (the reference restores
+  dataset_opt.yaml the same way, saver.py:21-23) — eval/pack must see the
+  exact dims/generation knobs the model was trained with, not the
+  dataset-name preset.  An explicit --dataset_folder still overrides the
+  folder (relocated datasets).
+  """
+  if restore is not None:
+    snap = os.path.join(restore, 'data_opt.yaml')
+    if os.path.exists(snap):
+      import yaml
+      with open(snap) as f:
+        cfg = C.DataConfig.from_dict(yaml.safe_load(f))
+      if getattr(args, 'dataset_folder', None):
+        cfg = cfg.replace(folder=args.dataset_folder)
+      return cfg
   return C.data_config_for(args.dataset, args.dataset_folder)
 
 

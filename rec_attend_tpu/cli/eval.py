@@ -144,7 +144,7 @@ def full_main(argv=None):
   model_cfg = model_cfg.replace(use_knob=False)
   train_cfg = C.TrainConfig(restore=restore, batch_size=args.batch_size,
                             results=args.results)
-  data_cfg = A.make_data_config(args)
+  data_cfg = A.make_data_config(args, restore=restore)
 
   exp = EvalExperiment('full', model_cfg, train_cfg, data_cfg,
                        splits=args.split.split(','))
@@ -173,7 +173,7 @@ def fg_main(argv=None):
           open(os.path.join(restore, 'model_opt.yaml'))))
   train_cfg = C.TrainConfig(restore=restore, batch_size=args.batch_size,
                             results=args.results)
-  data_cfg = A.make_data_config(args)
+  data_cfg = A.make_data_config(args, restore=restore)
   thresholds = [float(t) for t in args.threshold_list.split(',')]
 
   exp = EvalExperiment('fg', model_cfg, train_cfg, data_cfg,

@@ -36,7 +36,7 @@ def fg_main(argv=None):
   model_cfg = _load_cfg(C.FGModelConfig, restore)
   train_cfg = C.TrainConfig(restore=restore, batch_size=args.batch_size,
                             results=args.results)
-  data_cfg = A.make_data_config(args)
+  data_cfg = A.make_data_config(args, restore=restore)
 
   for split in args.split.split(','):
     exp = EvalExperiment('fg', model_cfg, train_cfg, data_cfg,
@@ -66,7 +66,7 @@ def full_main(argv=None):
   model_cfg = _load_cfg(C.FullModelConfig, restore).replace(use_knob=False)
   train_cfg = C.TrainConfig(restore=restore, batch_size=args.batch_size,
                             results=args.results)
-  data_cfg = A.make_data_config(args)
+  data_cfg = A.make_data_config(args, restore=restore)
 
   for split in args.split.split(','):
     exp = EvalExperiment('full', model_cfg, train_cfg, data_cfg,

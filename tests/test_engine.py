@@ -166,3 +166,29 @@ def test_training_cadences_disabled(tmp_path):
   exp = exp_lib.TrainingExperiment('fg', model_cfg, train_cfg, data_cfg)
   exp.run()
   assert exp.step == 2
+
+
+def test_make_data_config_restores_snapshot(tmp_path):
+  """Eval/pack CLIs must see the dims the model was trained with: the
+  data_opt.yaml beside the checkpoint wins over the dataset-name preset
+  (a 224x224-trained synth model used to be evaluated at the 64x64
+  preset and crash in the forward concat)."""
+  import argparse
+  import yaml
+  from rec_attend_tpu.cli import args as A
+
+  snap = {'dataset': 'synth', 'folder': 'data/big', 'height': 224,
+          'width': 224, 'timespan': 21, 'num_examples': 256,
+          'max_objects': 9}
+  with open(tmp_path / 'data_opt.yaml', 'w') as f:
+    yaml.safe_dump(snap, f)
+  ns = argparse.Namespace(dataset='synth', dataset_folder=None)
+  cfg = A.make_data_config(ns, restore=str(tmp_path))
+  assert (cfg.height, cfg.width, cfg.timespan) == (224, 224, 21)
+  assert cfg.folder == 'data/big'
+  # explicit --dataset_folder still relocates
+  ns = argparse.Namespace(dataset='synth', dataset_folder='/elsewhere')
+  assert A.make_data_config(ns, restore=str(tmp_path)).folder == '/elsewhere'
+  # no snapshot -> preset
+  ns = argparse.Namespace(dataset='synth', dataset_folder=None)
+  assert A.make_data_config(ns).height == 64
