@@ -6,8 +6,18 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Metric: decoded instance slots per second (batch x timespan / wall step) on
 the CVPPP-shaped full model (224x224, T=21) in eval mode on one chip.
 
+Measurement notes (docs/BENCH_NOTES.md has the full calibration):
+- Timing DRAINS the dispatch queue with a host read-back after the timed
+  window.  ``block_until_ready`` alone under-reports through the tunnelled
+  TPU backend (it measures dispatch rate, not execution; round-1's 253k
+  slots/s was that artifact).
+- Batch 128 amortises the tunnel's ~30 ms fixed per-dispatch latency; the
+  measured number is compute-bound (asymptote ~57-64k slots/s; batch-8
+  device compute is ~2.4 ms but a batch-8 *call* pays the full latency).
+- Keys are precomputed: an in-loop ``fold_in`` is its own dispatch.
+
 Baseline: the reference publishes no numbers (BASELINE.md); the comparison
-constant below is an estimate of its TF-0.12 single-GPU eval throughput
+constant is an estimate of its TF-0.12 single-GPU eval throughput
 (~2 images/s at 224x224 T=21 => ~42 instance slots/s), derived from the
 step_time channel it logs (runner.py:54-57).  The driver-stated target is
 >=50x this on one v5e chip.
@@ -32,7 +42,7 @@ def _retry_backend_init(attempts=4, delay=20):
     import jax
     jax.devices()
     return
-  except Exception as e:
+  except Exception:
     tries = int(os.environ.get('BENCH_BACKEND_RETRY', '0'))
     if tries >= attempts:
       raise
@@ -48,35 +58,35 @@ def main():
   from rec_attend_tpu import config
   from rec_attend_tpu.models import full_model
 
-  # use_pallas: fused glimpse kernels (ops/pallas/glimpse.py) measured
-  # slightly ahead of the einsum path end-to-end on v5e.
-  cfg = config.cvppp_full_config().replace(use_knob=False, use_pallas=True)
-  batch = 8
-  key = jax.random.PRNGKey(0)
-  params = full_model.init_full_model(key, cfg)
+  cfg = config.cvppp_full_config().replace(use_knob=False, use_pallas=False)
+  batch = 128
+  params = jax.device_put(
+      full_model.init_full_model(jax.random.PRNGKey(0), cfg))
 
   rng = np.random.RandomState(0)
   h, w, t = cfg.inp_height, cfg.inp_width, cfg.timespan
   x = jnp.asarray(rng.rand(batch, h, w, 3).astype(np.float32))
   y = jnp.zeros((batch, t, h, w), jnp.float32)
   s = jnp.zeros((batch, t), jnp.float32)
-  b = {'x': x, 'y_gt': y, 's_gt': s}
+  keys = [jax.device_put(k)
+          for k in jax.random.split(jax.random.PRNGKey(0), 16)]
+  jax.block_until_ready(keys)
 
   @jax.jit
-  def fwd(params, batch, key):
-    outputs, _ = full_model.full_model_forward(params, batch, cfg,
-                                               train=False, key=key)
+  def fwd(x, key):
+    outputs, _ = full_model.full_model_forward(
+        params, {'x': x, 'y_gt': y, 's_gt': s}, cfg, train=False, key=key)
     return outputs['y_out'], outputs['s_out']
 
-  # Warmup/compile.
-  out = fwd(params, b, key)
-  jax.block_until_ready(out)
+  # Warmup/compile + queue drain.
+  out = fwd(x, keys[0])
+  _ = np.asarray(out[1][0])
 
-  iters = 50
+  iters = 8
   t0 = time.perf_counter()
   for i in range(iters):
-    out = fwd(params, b, jax.random.fold_in(key, i))
-  jax.block_until_ready(out)
+    out = fwd(x, keys[i % len(keys)])
+  _ = np.asarray(out[1][0])   # drain: forces all queued executions
   dt = time.perf_counter() - t0
 
   instances_per_sec = batch * t * iters / dt
