@@ -199,16 +199,102 @@ def run_synth(args):
   log.info(f'Pipeline done: {full_id}')
 
 
+def run_synth3(args):
+  """THREE-stage pipeline on synthetic data at KITTI shape: fg (orientation
+  on) -> pack foreground_pred/orientation_pred into the H5 -> box with
+  --add_d_out/--add_y_out -> full (packed channels into both nets) -> eval.
+
+  This is the reference's run_kitti.sh:13-118 workflow executed end-to-end
+  on generated data (real KITTI archives are unobtainable here), i.e. the
+  packed d_in/y_in channels are *trained through*, not just shape-tested.
+
+  ``--scale tiny``: 64x64 smoke run (CI-sized, CPU-able).
+  ``--scale paper``: 128x448, T=20, kitti model presets.
+  ``--stages`` + ``--model_id`` resume the chain mid-way.
+  """
+  log = logger.get()
+  model_id = args.model_id or assign_model_id()
+  fg_id = f'fg_model_synth3-{model_id}'
+  box_id = f'box_model_synth3-{model_id}'
+  full_id = f'full_model_synth3-{model_id}'
+  paper = args.scale == 'paper'
+  stages = set(args.stages.split(','))
+
+  if paper:
+    data_cfg = C.DataConfig(dataset='synth', folder=args.dataset_folder,
+                            height=128, width=448, timespan=20,
+                            num_examples=256, max_objects=12)
+    fg_cfg = C.kitti_fg_config()
+    box_cfg = C.kitti_box_config()
+    full_base = C.kitti_full_config()
+    bs = 8
+    fg_steps = args.fg_steps or 3000
+    box_steps = args.box_steps or 12000
+    full_steps = args.full_steps or 16000
+    cadence = dict(steps_per_valid=250, steps_per_trainval=250,
+                   steps_per_plot=0, num_batch_valid=4, prefetch=True,
+                   num_worker=2)
+  else:
+    data_cfg = C.DataConfig(dataset='synth', folder=args.dataset_folder,
+                            height=64, width=64, timespan=6,
+                            num_examples=32, max_objects=4)
+    fg_cfg = C.tiny_fg_config(add_orientation=True, dcnn_depth=(8, 4, 9))
+    box_cfg = C.tiny_box_config(timespan=6, add_d_out=True, add_y_out=True)
+    full_base = C.tiny_full_config(
+        timespan=6, use_knob=True, add_d_out=True, add_y_out=True,
+        ctrl_add_inp=True, ctrl_add_canvas=True,
+        attn_add_inp=True, attn_add_canvas=True)
+    bs = 4
+    fg_steps = box_steps = full_steps = args.num_steps or 20
+    cadence = dict(steps_per_valid=max(fg_steps // 2, 1),
+                   steps_per_trainval=max(fg_steps // 2, 1),
+                   steps_per_plot=0)
+
+  train_cfg = C.TrainConfig(model_id=fg_id, num_steps=fg_steps,
+                            batch_size=bs, save_ckpt=True,
+                            results=args.results, logs=args.logs, **cadence)
+  if 'fg' in stages:
+    TrainingExperiment('fg', fg_cfg, train_cfg, data_cfg).run()
+  if 'pack' in stages:
+    pack_cli.fg_main(['--model_id', fg_id, '--results', args.results,
+                      '--dataset', 'synth', '--split', 'train,valid',
+                      '--batch_size', str(bs)])
+  if 'box' in stages:
+    train_cfg = train_cfg.replace(model_id=box_id, num_steps=box_steps)
+    TrainingExperiment('box', box_cfg, train_cfg, data_cfg).run()
+  if 'full' in stages:
+    weights = read_weights.box_main(
+        ['--model_id', box_id, '--results', args.results])
+    full_cfg = full_base.replace(pretrain_ctrl_net=weights)
+    train_cfg = train_cfg.replace(model_id=full_id, num_steps=full_steps)
+    TrainingExperiment('full', full_cfg, train_cfg, data_cfg).run()
+  if 'eval' in stages:
+    eval_cli.full_main(['--model_id', full_id, '--results', args.results,
+                        '--dataset', 'synth', '--split', 'valid',
+                        '--batch_size', str(bs)]
+                       + (['--dataset_folder', args.dataset_folder]
+                          if args.dataset_folder else []))
+  log.info(f'Pipeline done: {fg_id} -> {box_id} -> {full_id}')
+
+
 def main():
   parser = argparse.ArgumentParser()
   parser.add_argument('--dataset', default='cvppp',
-                      choices=['cvppp', 'kitti', 'cityscapes', 'synth'])
+                      choices=['cvppp', 'kitti', 'cityscapes', 'synth',
+                               'synth3'])
   parser.add_argument('--dataset_folder', default=None)
   parser.add_argument('--results', default='results')
   parser.add_argument('--logs', default='logs')
   parser.add_argument('--scale', default='paper', choices=['paper', 'tiny'])
   parser.add_argument('--num_steps', default=None, type=int,
                       help='steps per stage when --scale tiny')
+  parser.add_argument('--model_id', default=None,
+                      help='reuse an id (resume a synth3 chain mid-way)')
+  parser.add_argument('--stages', default='fg,pack,box,full,eval',
+                      help='synth3 stages to run')
+  parser.add_argument('--fg_steps', default=None, type=int)
+  parser.add_argument('--box_steps', default=None, type=int)
+  parser.add_argument('--full_steps', default=None, type=int)
   args = parser.parse_args()
   if args.dataset == 'cvppp':
     run_cvppp(args)
@@ -216,6 +302,8 @@ def main():
     run_kitti(args)
   elif args.dataset == 'synth':
     run_synth(args)
+  elif args.dataset == 'synth3':
+    run_synth3(args)
   elif args.dataset == 'cityscapes':
     run_cityscapes(args)
   else:

@@ -192,7 +192,13 @@ class TrainingExperiment(ExperimentBase):
     if self.should_restore:
       self.restore_ckpt()
       if getattr(model_cfg, 'finetune', False):
-        self.step = 0   # finetune resets the step (ref experiment.py:28-37)
+        # Finetune restarts the schedule: the reference resets global_step,
+        # which drives BOTH the step counter and the optimizer's LR decay
+        # (ref experiment.py:28-37, full_model_train.py:445-455).  The
+        # restored opt_state keeps Adam's count, so it must be re-inited or
+        # the staircase LR would resume fully decayed.
+        self.step = 0
+        self.opt_state = self.tx.init(self.params)
 
     self.train_ds = self.get_dataset('train')
     self.valid_ds = (self.get_dataset('valid')

@@ -73,6 +73,42 @@ def test_training_resume(tmp_path):
   assert exp2.step == 6
 
 
+def _adam_count(opt_state):
+  """The optimizer is chain(clip, adam); adam's count drives the LR."""
+  import jax
+  counts = [int(x) for x in jax.tree_util.tree_leaves(opt_state)
+            if hasattr(x, 'dtype') and x.dtype == np.int32 and x.ndim == 0]
+  assert counts, 'no count leaf found in opt_state'
+  return counts[0]
+
+
+def test_finetune_restarts_lr_schedule(tmp_path):
+  """finetune=True must reset the optimizer count, not just self.step —
+  otherwise the staircase LR resumes fully decayed
+  (ref experiment.py:28-37 resets global_step which drives both)."""
+  model_cfg, train_cfg, data_cfg = _tiny_setup(
+      tmp_path, 'box', num_steps=4, steps_per_learn_rate_decay=2,
+      learn_rate_decay=0.5)
+  train_cfg = train_cfg.replace(model_id='box_ft', steps_per_valid=0,
+                                steps_per_trainval=0)
+  exp = exp_lib.TrainingExperiment('box', model_cfg, train_cfg, data_cfg)
+  exp.run()
+  assert _adam_count(exp.opt_state) == 4
+
+  restore = train_cfg.replace(
+      restore=os.path.join(train_cfg.results, 'box_ft'), num_steps=6)
+  # Plain resume keeps the schedule position.
+  exp2 = exp_lib.TrainingExperiment('box', model_cfg, restore, data_cfg)
+  assert exp2.step == 4 and _adam_count(exp2.opt_state) == 4
+  # Finetune restarts it: step 0, optimizer count 0 -> base_learn_rate.
+  exp3 = exp_lib.TrainingExperiment(
+      'box', model_cfg.replace(finetune=True), restore, data_cfg)
+  assert exp3.step == 0 and _adam_count(exp3.opt_state) == 0
+  from rec_attend_tpu.models.full_model import learn_rate
+  np.testing.assert_allclose(float(learn_rate(model_cfg, 0)),
+                             model_cfg.base_learn_rate, rtol=1e-6)
+
+
 def test_eval_restore_tolerates_optimizer_mismatch(tmp_path):
   """A checkpoint saved under momentum must restore into an eval
   experiment whose current config says adam (the YAML snapshot beside the
