@@ -1,7 +1,13 @@
 """Instance masks -> 8-bin angle-to-centroid orientation maps.
 
-Capability twin of the reference's ``orientation.py:31-85`` (numpy, used at
-dataset-assembly time) plus the colour-wheel renderer for dashboards.
+Same data contract as the reference's assembly-time ``orientation.py``
+(8 angular bins of the pixel->instance-centroid direction, bin edges offset
+by pi/8, masked to the instance union), computed fully vectorised: one
+coordinate grid, per-instance centroids by masked mean, and ``arctan2`` for
+the angle instead of the reference's four-quadrant arcsin blend (identical
+binning for every non-degenerate direction vector; the single
+centre-of-mass pixel of a mask, whose direction is undefined, may land in a
+neighbouring bin).
 """
 
 from __future__ import annotations
@@ -29,36 +35,37 @@ def get_orientation(y, num_classes=8, encoding='one_hot'):
 
   Args:
     y: [B, T, H, W] binary instance masks.
-    encoding: 'one_hot' -> [B, H, W, num_classes]; 'class' -> [B, H, W].
+    num_classes: number of angular bins.
+    encoding: 'one_hot' -> [B, H, W, num_classes] uint8 (union over T);
+      'class' -> [B, H, W] uint8 bin indices.
   """
   b, t, h, w = y.shape
-  idx_map = np.zeros([h, w, 2])
-  idx_map[:, :, 0] += np.arange(h).reshape([-1, 1])
-  idx_map[:, :, 1] += np.arange(w).reshape([1, -1])
-  idx_map = idx_map.reshape([1, 1, h, w, 2])
-  y2 = np.expand_dims(y, 4)
-  y_map = idx_map * y2
-  # (the reference wrote expand_dims(..., 3) on a 2-D array, which old numpy
-  # clipped to an append — i.e. [B, T, 1])
-  y_sum = np.expand_dims(y.sum(axis=2).sum(axis=2), 2) + 1e-7
-  centroids = (y_map.sum(axis=2).sum(axis=2) / y_sum).reshape([b, t, 1, 1, 2])
-  ovec = (y_map - centroids) * y2
-  ovec = (ovec + 1e-8) / (
-      np.sqrt((ovec * ovec).sum(axis=-1, keepdims=True)) + 1e-7)
-  angle = np.arcsin(np.clip(ovec[:, :, :, :, 0], -1.0, 1.0))
-  xpos = (ovec[:, :, :, :, 1] > 0).astype('float')
-  ypos = (ovec[:, :, :, :, 0] > 0).astype('float')
-  angle = (angle * xpos * ypos + (np.pi - angle) * (1 - xpos) * ypos +
-           angle * xpos * (1 - ypos) +
-           (-np.pi - angle) * (1 - xpos) * (1 - ypos))
-  angle = angle + np.pi / 8
-  angle_class = np.mod(
-      np.floor((angle + np.pi) * num_classes / 2 / np.pi), num_classes)
+  yf = y.astype('float32')
+
+  # Masked centroid of each instance: [B, T] each.
+  row = np.arange(h, dtype='float32')[:, None]
+  col = np.arange(w, dtype='float32')[None, :]
+  area = yf.sum(axis=(2, 3)) + 1e-7
+  ctr_row = (yf * row).sum(axis=(2, 3)) / area
+  ctr_col = (yf * col).sum(axis=(2, 3)) / area
+
+  # Pixel -> centroid offsets, zero off-mask, unit-normalised with the
+  # shared epsilon scheme (offsets + 1e-8 over joint norm + 1e-7).
+  d_row = (row - ctr_row[:, :, None, None]) * yf
+  d_col = (col - ctr_col[:, :, None, None]) * yf
+  norm = np.sqrt(d_row * d_row + d_col * d_col) + 1e-7
+  u_row = (d_row + 1e-8) / norm
+  u_col = (d_col + 1e-8) / norm
+
+  # Angle -> bin, with bin edges rotated by half a bin width.
+  angle = np.arctan2(u_row, u_col) + np.pi / num_classes
+  bins = np.mod(np.floor((angle + np.pi) * num_classes / (2 * np.pi)),
+                num_classes)
+
+  if encoding == 'class':
+    return (bins * yf).max(axis=1).astype('uint8')
   if encoding == 'one_hot':
-    angle_class = np.expand_dims(angle_class, 4)
-    clazz = np.arange(num_classes).reshape([1, 1, 1, 1, -1])
-    one_hot = np.equal(angle_class, clazz).astype('float32')
-    return (one_hot * y2).max(axis=1).astype('uint8')
-  elif encoding == 'class':
-    return (angle_class * y).max(axis=1).astype('uint8')
+    clazz = np.arange(num_classes, dtype='float32').reshape(1, 1, 1, 1, -1)
+    one_hot = (bins[..., None] == clazz) * yf[..., None]
+    return one_hot.max(axis=1).astype('uint8')
   raise ValueError(f'Unknown encoding type: {encoding}')

@@ -1,37 +1,36 @@
-"""Colour/id label image -> list of binary instance masks.
+"""Split a colour/id label image into per-instance binary masks.
 
-Capability twin of the reference's ``sep_labels.py:3-26``: pack the channels
-of a label image into one 64-bit id per pixel, then split on unique ids
-(0 = background).
+Same contract as the reference's ``sep_labels.py``: multi-channel label
+images are bit-packed into one 64-bit id per pixel (8/16/32 bits per
+channel by dtype), id 0 is background, and every remaining unique id yields
+one uint8 mask.  Implemented as a single broadcast comparison over the
+unique-id axis rather than a per-colour python loop.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
+_CHANNEL_BITS = {'uint8': 8, 'uint16': 16, 'int32': 32, 'uint32': 32}
+
+
+def pack_label_ids(label_img):
+  """[H, W] or [H, W, C] label image -> [H, W] uint64 per-pixel ids."""
+  if label_img.ndim == 2:
+    return label_img.astype(np.uint64)
+  bits = _CHANNEL_BITS.get(label_img.dtype.name)
+  if bits is None:
+    raise ValueError(f'Unknown dtype: {label_img.dtype}')
+  n_ch = label_img.shape[2]
+  shifts = (bits * np.arange(n_ch - 1, -1, -1)).astype(np.uint64)
+  return (label_img.astype(np.uint64) << shifts).sum(
+      axis=2, dtype=np.uint64)
+
 
 def get_separate_labels(label_img):
-  """Returns (list of [H, W] uint8 masks, list of packed colour ids)."""
-  dtype = label_img.dtype
-  if dtype == np.uint8:
-    w = 8
-  elif dtype == np.uint16:
-    w = 16
-  elif dtype in (np.int32, np.uint32):
-    w = 32
-  else:
-    raise ValueError(f'Unknown dtype: {dtype}')
-  l64 = label_img.astype('uint64')
-  if l64.ndim == 3:
-    l64i = (l64[:, :, 0] << np.uint64(2 * w)) + \
-           (l64[:, :, 1] << np.uint64(w)) + l64[:, :, 2]
-  else:
-    l64i = l64
-  colors = np.unique(l64i)
-  segmentations = []
-  colors_all = []
-  for c in colors:
-    if c != 0:
-      segmentations.append((l64i == c).astype('uint8'))
-      colors_all.append(int(c))
-  return segmentations, colors_all
+  """Returns (list of [H, W] uint8 instance masks, list of int pixel ids)."""
+  ids_img = pack_label_ids(label_img)
+  ids = np.unique(ids_img)
+  ids = ids[ids != 0]
+  masks = (ids_img[None, :, :] == ids[:, None, None]).astype('uint8')
+  return list(masks), [int(i) for i in ids]

@@ -1,11 +1,16 @@
-"""Eval-time postprocessing pipeline (host-side numpy/cv2).
+"""Eval-time postprocess chain (host-side numpy/cv2).
 
-Capability twin of the reference's ``utils/postprocess.py``: confidence
-weighting, bilinear upsample + bilateral filter to full resolution,
-single-label argmax, thresholding, 5x5 dilation, tiny-region removal with
-confidence zeroing, and foreground masking.  Kept on the host exactly as the
-reference does — the shapes are dynamic per image (full-size labels vary),
-which is the wrong fit for XLA (SURVEY.md §7.3).
+Same pipeline contract as the reference's ``utils/postprocess.py`` —
+confidence weighting -> full-resolution upsample (bilinear + 5x10x10
+bilateral filter) -> optional 5x5 dilation -> per-pixel single-label argmax
+-> threshold -> tiny-region removal (<200 px zeroes mask AND confidence) ->
+foreground masking — re-expressed vectorised (no per-channel python inner
+loops where numpy can broadcast).  Stays on the host deliberately: the
+full-size label shapes vary per image, which is the wrong fit for XLA
+(SURVEY.md §7.3).
+
+All list-valued arguments are per-image lists of [T, H_i, W_i] arrays
+(full-size shapes differ per image); batch-shaped arguments are [B, T, ...].
 """
 
 from __future__ import annotations
@@ -13,85 +18,75 @@ from __future__ import annotations
 import cv2
 import numpy as np
 
-
-def apply_threshold(y_out, thresh):
-  """list of [T, H, W] soft -> binary maps."""
-  return [(_y > thresh).astype('float32') for _y in y_out]
+# Contract constants shared with the reference pipeline.
+DILATE_KERNEL = np.ones((5, 5), np.uint8)
+TINY_REGION_PIXELS = 200
+BILATERAL_ARGS = (5, 10, 10)
 
 
 def apply_confidence(y_out, s_out):
-  """Weight masks by confidence; harden scores at 0.5.
+  """Scale each instance map by its confidence; harden scores at 0.5.
 
-  y_out [B, T, H, W], s_out [B, T] -> (weighted y_out, hard s_out)."""
-  s_mask = np.reshape(s_out, [-1, s_out.shape[1], 1, 1])
-  y_out = y_out * s_mask
-  s_out_hard = (s_out > 0.5).astype('float32')
-  return y_out, s_out_hard
+  y_out [B, T, H, W], s_out [B, T] -> (weighted maps, 0/1 scores)."""
+  return (y_out * s_out[:, :, None, None],
+          (s_out > 0.5).astype('float32'))
 
 
-def apply_one_label(y_out):
-  """Each pixel belongs to at most the argmax instance; list of [T, H, W]."""
+def apply_threshold(y_list, thresh):
+  """Binarise soft maps at ``thresh``."""
+  return [(y > thresh).astype('float32') for y in y_list]
+
+
+def apply_one_label(y_list):
+  """Resolve overlaps: each pixel keeps only its argmax instance."""
   out = []
-  for _y in y_out:
-    y_max = np.argmax(_y, axis=0)
-    _y2 = np.zeros(_y.shape, dtype=_y.dtype)
-    for jj in range(_y.shape[0]):
-      _y2[jj] = (y_max == jj).astype('float32') * _y[jj]
-    out.append(_y2)
+  for y in y_list:
+    winner = np.argmax(y, axis=0)[None, :, :]
+    channel = np.arange(y.shape[0])[:, None, None]
+    out.append(y * (winner == channel))
   return out
 
 
-def morph(y_out):
-  """5x5 dilation per instance channel; list of [T, H, W]."""
-  return [morph_single(_y) for _y in y_out]
+def morph(y_list):
+  """5x5 dilation of every instance channel."""
+  return [np.stack([cv2.dilate(ch, DILATE_KERNEL) for ch in y])
+          for y in y_list]
 
 
-def morph_single(y_out):
-  kernel = np.ones([5, 5], np.uint8)
-  out = np.zeros(y_out.shape, dtype=y_out.dtype)
-  for ch in range(y_out.shape[0]):
-    out[ch] = cv2.dilate(y_out[ch], kernel)
-  return out
+def upsample(y_list, y_ref):
+  """Resize each [T, h, w] stack to its reference [T, H_i, W_i] shape.
 
-
-def upsample(y_out, y_gt):
-  """Resize each [T, H', W'] in y_out to its matching y_gt size with
-  bilinear + bilateral filtering."""
+  Bilinear resize then bilateral smoothing, per the reference chain."""
   out = []
-  for ii in range(len(y_gt)):
-    size = (y_gt[ii].shape[-1], y_gt[ii].shape[-2])
-    _y = np.zeros(y_gt[ii].shape, dtype='float32')
-    for jj in range(y_gt[ii].shape[0]):
-      _y[jj] = upsample_single(y_out[ii][jj].astype('float32'), size)
-    out.append(_y)
+  for y, ref in zip(y_list, y_ref):
+    size = (ref.shape[-1], ref.shape[-2])            # cv2 wants (W, H)
+    out.append(np.stack([
+        _resize_smooth(y[t].astype('float32'), size)
+        for t in range(ref.shape[0])]))
   return out
 
 
-def upsample_single(a, size):
-  b = cv2.resize(a, size, interpolation=cv2.INTER_LINEAR)
-  return cv2.bilateralFilter(b, 5, 10, 10)
+def _resize_smooth(img, size):
+  resized = cv2.resize(img, size, interpolation=cv2.INTER_LINEAR)
+  return cv2.bilateralFilter(resized, *BILATERAL_ARGS)
 
 
-def remove_tiny(y_out, conf, threshold=200):
-  """Zero instances smaller than ``threshold`` pixels (and their
-  confidence); list of [T, H, W], conf [B, T]."""
+def remove_tiny(y_list, conf, threshold=TINY_REGION_PIXELS):
+  """Zero instances smaller than ``threshold`` pixels, and their scores.
+
+  conf is [B, T] and is updated in place (matching the pipeline's reuse of
+  the hardened score array)."""
   if threshold == 0:
-    return y_out, conf
+    return y_list, conf
   out = []
-  for ii, _y in enumerate(y_out):
-    _y_removed, _conf = remove_tiny_single(_y, conf[ii], threshold=threshold)
-    out.append(_y_removed)
-    conf[ii] = _conf
+  for i, y in enumerate(y_list):
+    area = y.reshape(y.shape[0], -1).sum(axis=1)
+    keep = (area > threshold).astype('float32')
+    out.append(y * keep[:, None, None])
+    conf[i] = conf[i] * keep
   return out, conf
 
 
-def remove_tiny_single(y_out, conf, threshold=200):
-  y_size = y_out.sum(axis=1, keepdims=True).sum(axis=2, keepdims=True)
-  is_not_tiny = (y_size > threshold).astype('float32')
-  conf = conf * np.reshape(is_not_tiny, [-1])
-  return y_out * is_not_tiny, conf
-
-
-def mask_foreground(y_out, fg):
-  """Mask instances by a foreground map; lists of [T, H, W] and [H, W]."""
-  return [_y * _fg for _y, _fg in zip(y_out, fg)]
+def mask_foreground(y_list, fg_list):
+  """Intersect instance maps with a per-image foreground map [H, W]."""
+  return [y * fg for y, fg in zip(y_list, fg_list)]
