@@ -295,6 +295,16 @@ def box_model_loss(params, batch, cfg: BoxModelConfig, train, key, step,
                                    losses.f_huber)
   elif cfg.box_loss_fn == 'iou':
     box_loss = -iou_soft_box_scalar
+  elif cfg.box_loss_fn == 'wt_cov':
+    # Area-weighted coverage of the GT boxes (ref box_model.py:600-601).
+    box_loss = -losses.f_weighted_coverage(iou_soft_box, attn_box_gt)
+  elif cfg.box_loss_fn == 'wt_iou':
+    # The reference names wt_iou_soft_box but never defines it
+    # (box_model.py:598-599, latent NameError — the flag was never used by
+    # the run scripts); natural semantics: matched soft IoU weighted by GT
+    # box area instead of the uniform 1/match_count average.
+    wt = losses.f_coverage_weight(attn_box_gt)
+    box_loss = -jnp.sum(jnp.sum(iou_soft_box_mask * wt, axis=1)) / B
   elif cfg.box_loss_fn == 'bce':
     box_loss = losses.f_match_loss(attn_box, attn_box_gt, match_box,
                                    losses.f_bce)

@@ -78,6 +78,26 @@ def test_box_model_converges():
   assert last['loss'] < 0.6 * first['loss'], (first['loss'], last['loss'])
 
 
+@pytest.mark.parametrize('loss_fn_name', ['wt_cov', 'wt_iou'])
+def test_box_model_weighted_losses_learn(loss_fn_name):
+  """wt_cov/wt_iou box-loss branches (ref box_model.py:598-601; wt_iou's
+  reference body was a latent NameError — natural semantics here) must
+  produce learning signal, not just finite values."""
+  cfg = config.tiny_box_config(
+      timespan=4, inp_height=32, inp_width=32, filter_height=12,
+      filter_width=12, base_learn_rate=2e-3, padding=2,
+      box_loss_fn=loss_fn_name)
+  batch = _learnable_batch(np.random.RandomState(4))
+  params = box_model.init_box_model(KEY, cfg)
+  _, first, last = _train(box_model.box_model_loss, cfg, params, batch,
+                          steps=200)
+  assert np.isfinite(last['loss'])
+  # Both are -weighted-IoU-style objectives: the box term must drop well
+  # below its starting value (coverage/weighted IoU growing toward 1).
+  assert last['box_loss'] < first['box_loss'] - 0.2, (
+      first['box_loss'], last['box_loss'])
+
+
 def test_fg_model_converges():
   cfg = config.tiny_fg_config(inp_height=32, inp_width=32,
                               base_learn_rate=2e-3, padding=2)

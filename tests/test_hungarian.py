@@ -299,3 +299,37 @@ class TestSegmMatch:
     w = np.round(iou * 1e6) / 1e6 + 1e-5
     np.testing.assert_allclose((w * m_jax).sum(axis=(1, 2)),
                                (w * m_nat).sum(axis=(1, 2)), rtol=1e-5)
+
+
+def test_native_matcher_inside_jitted_train_step():
+  """matcher='native' routes through jax.pure_callback (ops/native.py);
+  it must survive jit + grad inside a real train step and produce the same
+  loss as the on-device matcher (both matchings are optimal; the weights
+  here are random so the optimum is unique)."""
+  from rec_attend_tpu import config
+  from rec_attend_tpu.models import box_model
+  from rec_attend_tpu.parallel import train_step as ts_lib
+
+  cfg = config.tiny_box_config(timespan=4, inp_height=32, inp_width=32,
+                               filter_height=12, filter_width=12, padding=2)
+  key = jax.random.PRNGKey(0)
+  params = box_model.init_box_model(key, cfg)
+  rng = np.random.RandomState(0)
+  batch = {
+      'x': jnp.array(rng.rand(2, 32, 32, 3).astype(np.float32)),
+      'y_gt': jnp.array((rng.rand(2, 4, 32, 32) > 0.9).astype(np.float32)),
+      's_gt': jnp.ones((2, 4), np.float32),
+  }
+
+  losses = {}
+  for matcher in ('jax', 'native'):
+    def loss_fn(p, b, c, train, k, step, _m=matcher):
+      return box_model.box_model_loss(p, b, c, train, k, step, matcher=_m)
+
+    step_fn, tx = ts_lib.make_train_step(loss_fn, cfg, donate=False)
+    opt_state = tx.init(params)
+    new_params, _, metrics = step_fn(params, opt_state, batch, key,
+                                     jnp.asarray(0.0))
+    losses[matcher] = float(metrics['loss'])
+    assert np.isfinite(losses[matcher])
+  np.testing.assert_allclose(losses['native'], losses['jax'], rtol=1e-5)

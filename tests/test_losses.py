@@ -159,6 +159,41 @@ def test_box_iou():
   assert float(losses.f_iou_box(tl_a, br_a, tl_c, br_c)[0, 0]) == 0.0
 
 
+def test_sem_loss_matches_numpy_oracle():
+  """f_sem_loss (ref modellib.py:342-363 — defined there but never wired
+  into a model, same as here): monotonic presence loss on 1-s0 plus a
+  matched-class cross-entropy, checked against a from-scratch numpy
+  oracle."""
+  rng = np.random.RandomState(0)
+  B, T, C = 3, 5, 4
+  raw = rng.rand(B, T, C).astype('float32')
+  s_out = raw / raw.sum(-1, keepdims=True)          # softmax-like scores
+  c_gt = np.eye(C, dtype='float32')[rng.randint(0, C, (B, T))]
+  # A permutation matching per example, masked to the first few slots.
+  match = np.zeros((B, T, T), np.float32)
+  for b in range(B):
+    perm = rng.permutation(T)
+    for t in range(rng.randint(2, T + 1)):
+      match[b, t, perm[t]] = 1.0
+
+  got = float(losses.f_sem_loss(jnp.asarray(s_out), jnp.asarray(match),
+                                jnp.asarray(c_gt), C))
+
+  # Oracle: conf part on 1 - s_out[:, :, 0] with prefix-min/suffix-max BCE.
+  eps = 1e-5
+  pres = 1 - s_out[:, :, 0]
+  pres_min = np.minimum.accumulate(pres, axis=1)
+  pres_max = np.maximum.accumulate(pres[:, ::-1], axis=1)[:, ::-1]
+  m_sum = match.sum(axis=2)
+  bce = (-m_sum * np.log(pres_min + eps)
+         - (1 - m_sum) * np.log(1 - pres_max + eps))
+  conf = bce.sum() / B / T
+  # Class part: GT classes permuted through the matching, then CE.
+  c_gt2 = np.einsum('btu,buc->btc', match, c_gt)
+  ce = -(c_gt2 * np.log(s_out + eps)).sum() / B / T
+  np.testing.assert_allclose(got, conf + ce, rtol=1e-5)
+
+
 def test_bce_minmax():
   y_min = jnp.array([[0.9, 0.8]])
   y_max = jnp.array([[0.95, 0.85]])
