@@ -191,6 +191,8 @@ class FullModelConfig(_ConfigBase):
   # TPU-native knobs (no reference equivalent)
   dtype: str = 'float32'          # compute dtype for conv/matmul paths
   remat: bool = False             # jax.checkpoint the per-timestep body
+  remat_policy: str = 'full'      # 'full' | 'dots' (save matmul/conv outs)
+  scan_unroll: int = 1            # lax.scan unroll factor for the T loop
   use_pallas: bool = False        # fused Pallas glimpse kernels
   parallel_decode: Optional[bool] = None  # vmap timesteps when independent
                                           # (None = auto-detect)

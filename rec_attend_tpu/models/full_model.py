@@ -506,7 +506,14 @@ def full_model_forward(params, batch, cfg: FullModelConfig, train: bool,
     return (canvas, grd_cum), ys
 
   if cfg.remat:
-    body = jax.checkpoint(body)
+    if getattr(cfg, 'remat_policy', 'full') == 'dots':
+      # Save conv/matmul outputs across the scan, recompute elementwise
+      # chains only (trades HBM for less backward recompute; watch the
+      # [T, B, H, W, C] lane padding for C < 128).
+      body = jax.checkpoint(body,
+                            policy=jax.checkpoint_policies.dots_saveable)
+    else:
+      body = jax.checkpoint(body)
 
   canvas0 = jnp.zeros((B, H, W, 1))
 
@@ -528,7 +535,8 @@ def full_model_forward(params, batch, cfg: FullModelConfig, train: bool,
         (canvas0, grd_cum0), xs)
     canvas = jnp.max(canvas_t, axis=0)
   else:
-    (canvas, _), ys = jax.lax.scan(body, (canvas0, grd_cum0), xs)
+    (canvas, _), ys = jax.lax.scan(body, (canvas0, grd_cum0), xs,
+                                   unroll=getattr(cfg, 'scan_unroll', 1))
 
   # Move the scan axis back to position 1: [T, B, ...] -> [B, T, ...].
   def t_to_batch(a):
@@ -580,16 +588,28 @@ def full_model_loss(params, batch, cfg: FullModelConfig, train, key, step,
   T = cfg.timespan
 
   # ---- box loss -------------------------------------------------------
+  # Both matchings (box and segmentation) run as ONE batched Hungarian
+  # solve: the solver is a vmapped sequential while_loop whose wall time is
+  # the max over lanes, so stacking the two [B, T, T] problems to [2B, T, T]
+  # costs far less than two separate solves (measured ~10 ms/step at b8,
+  # docs/PROFILE_TRAIN.json).
+  iou_soft_pairwise = losses.f_iou(y_out, y_gt, pairwise=True)
   if cfg.fixed_order:
     iou_soft_box = losses.f_iou(attn_box, attn_box_gt)          # [B, T]
     match_box = matching.get_identity_match(T, s_gt)
+    real_match = matching.f_segm_match(iou_soft_pairwise, s_gt,
+                                       matcher=matcher)
   else:
     if cfg.use_knob:
       iou_soft_box = outputs['iou_soft_box_t']                  # [B, T, T]
     else:
       iou_soft_box = losses.f_iou(attn_box, attn_box_gt, pairwise=True)
-    match_box = matching.f_segm_match(iou_soft_box, s_gt, matcher=matcher)
+    both = matching.f_segm_match(
+        jnp.concatenate([iou_soft_box, iou_soft_pairwise], axis=0),
+        jnp.concatenate([s_gt, s_gt], axis=0), matcher=matcher)
+    match_box, real_match = both[:B], both[B:]
   match_box = jax.lax.stop_gradient(match_box)
+  real_match = jax.lax.stop_gradient(real_match)
 
   match_count_box = jnp.maximum(jnp.sum(match_box, axis=(1, 2)), 1.0)
   if cfg.fixed_order:
@@ -621,9 +641,6 @@ def full_model_loss(params, batch, cfg: FullModelConfig, train, key, step,
     raise ValueError(f'Unknown box_loss_fn: {cfg.box_loss_fn}')
 
   # ---- segmentation loss ----------------------------------------------
-  iou_soft_pairwise = losses.f_iou(y_out, y_gt, pairwise=True)
-  real_match = jax.lax.stop_gradient(
-      matching.f_segm_match(iou_soft_pairwise, s_gt, matcher=matcher))
   if cfg.fixed_order:
     iou_soft = losses.f_iou(y_out, y_gt)                        # [B, T]
     match = matching.get_identity_match(T, s_gt)
