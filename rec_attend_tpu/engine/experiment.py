@@ -96,7 +96,7 @@ def get_model_spec(name: str) -> ModelSpec:
         batch_map={'x': 'x', 'c_gt': 'y_gt', 'd_gt': 'd_gt'},
         train_metrics=('loss',),
         eval_metrics=('loss', 'iou_soft', 'iou_hard', 'foreground_loss',
-                      'learn_rate'))
+                      'orientation_ce', 'orientation_acc', 'learn_rate'))
   raise ValueError(f'Unknown model spec: {name}')
 
 
