@@ -73,15 +73,116 @@ def latest_ckpt_step(folder):
   return max(steps) if steps else None
 
 
+def synth3_section(args):
+  """Markdown section for the KITTI-shape three-stage pipeline
+  (fg -> pack -> box -> full, ref run_kitti.sh workflow on synth data)."""
+  import json
+  import yaml
+  full_folder = os.path.join(args.results, args.full_id)
+  out_folder = os.path.join(full_folder, f'output_{args.split}')
+  metrics = read_analyzer_csvs(out_folder)
+  fg_folder = os.path.join(args.results, args.fg_id)
+  fg_metrics = {}
+  fg_json = os.path.join(fg_folder, f'fg_metrics_{args.split}.json')
+  if os.path.exists(fg_json):
+    with open(fg_json) as f:
+      fg_metrics = json.load(f)
+  data_opt = yaml.safe_load(open(os.path.join(full_folder,
+                                              'data_opt.yaml')))
+  model_opt = yaml.safe_load(open(os.path.join(full_folder,
+                                               'model_opt.yaml')))
+  box_loss = read_loss_curve(os.path.join(args.logs, args.box_id,
+                                          'loss.csv'))
+  full_loss = read_loss_curve(os.path.join(args.logs, args.full_id,
+                                           'loss.csv'))
+  fg_loss = read_loss_curve(os.path.join(args.logs, args.fg_id, 'loss.csv'))
+
+  lines = []
+  w = lines.append
+  w('## Three-stage pipeline at KITTI shape (fg → pack → box → full)')
+  w('')
+  w('The reference\'s `run_kitti.sh` workflow executed END-TO-END: an FCN')
+  w('foreground+orientation model is trained, its predictions are packed')
+  w('into the H5 (`foreground_pred`/`orientation_pred`), and the box and')
+  w('full models are *trained through* the packed `d_in`/`y_in` channels')
+  w('(`add_d_out`/`add_y_out`, kitti presets: 128×448, T=20, dynamic_var).')
+  w('Dataset: built-in synth at KITTI shape, up to 12 objects/image.')
+  w('')
+  w('### Provenance')
+  w('')
+  w(f'- fg model: `{args.fg_id}` — '
+    f'step {latest_ckpt_step(fg_folder)}, 18-conv FCN, orientation head')
+  w(f'- box model: `{args.box_id}` — '
+    f'step {latest_ckpt_step(os.path.join(args.results, args.box_id))}, '
+    'packed-channel inputs')
+  w(f'- full model: `{args.full_id}` — '
+    f'step {latest_ckpt_step(full_folder)}, ctrl net from box weights.h5, '
+    'packed channels into both nets')
+  w(f'- dataset: {data_opt}')
+  w(f'- key opts: add_d_out={model_opt.get("add_d_out")}, '
+    f'add_y_out={model_opt.get("add_y_out")}, '
+    f'dynamic_var={model_opt.get("dynamic_var")}, '
+    f'timespan={model_opt.get("timespan")}')
+  w('')
+  w('### Stage metrics')
+  w('')
+  if fg_loss:
+    w(f'- fg loss: {fg_loss[0][1]:.4f} → {fg_loss[-1][1]:.4f} '
+      f'(step {fg_loss[-1][0]})')
+  if fg_metrics:
+    w(f'- fg held-out ({args.split}): IoU soft {fg_metrics.get("iou_soft")}'
+      f', IoU hard {fg_metrics.get("iou_hard")}, orientation acc '
+      f'{fg_metrics.get("orientation_acc")}')
+  if box_loss:
+    w(f'- box loss: {box_loss[0][1]:.4f} → {box_loss[-1][1]:.4f} '
+      f'(step {box_loss[-1][0]})')
+  if full_loss:
+    w(f'- full loss: {full_loss[0][1]:.4f} → {full_loss[-1][1]:.4f} '
+      f'(step {full_loss[-1][0]})')
+  w('')
+  w(f'### Instance eval ({args.split} split, packed-channel model)')
+  w('')
+  w('| Metric | Mean | Std |')
+  w('|---|---|---|')
+  order = ['sbd', 'wt_cov', 'unwt_cov', 'avg_fp', 'avg_fn', 'count_acc',
+           'count_mse', 'dic', 'dic_abs', 'avg_pr', 'avg_re', 'obj_pr',
+           'obj_re']
+  for name in list(dict.fromkeys(order + sorted(metrics))):
+    if name in metrics:
+      mean, std = metrics[name]
+      w(f'| {name} | {mean:.4f} | {std:.4f} |')
+  w('')
+  w(f'Analyzer CSVs: `{out_folder}/`.  Regenerate: `python '
+    'pipelines/run_pipeline.py --dataset synth3 --scale paper`.')
+  w('')
+  return '\n'.join(lines)
+
+
 def main():
   p = argparse.ArgumentParser()
   p.add_argument('--full_id', required=True)
   p.add_argument('--box_id', default=None)
+  p.add_argument('--fg_id', default=None)
   p.add_argument('--results', default='results')
   p.add_argument('--logs', default='logs')
   p.add_argument('--split', default='valid')
   p.add_argument('--out', default='RESULTS.md')
+  p.add_argument('--section', default='cvppp', choices=['cvppp', 'synth3'],
+                 help='synth3 appends the three-stage KITTI-shape section '
+                      'to --out instead of rewriting it')
   args = p.parse_args()
+
+  if args.section == 'synth3':
+    assert args.fg_id and args.box_id, '--fg_id/--box_id required'
+    text = synth3_section(args)
+    existing = open(args.out).read() if os.path.exists(args.out) else ''
+    marker = '## Three-stage pipeline at KITTI shape'
+    if marker in existing:
+      existing = existing[:existing.index(marker)].rstrip() + '\n\n'
+    with open(args.out, 'w') as f:
+      f.write(existing.rstrip() + '\n\n' + text)
+    print(f'appended synth3 section to {args.out}')
+    return
 
   full_folder = os.path.join(args.results, args.full_id)
   out_folder = os.path.join(full_folder, f'output_{args.split}')
