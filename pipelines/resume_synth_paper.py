@@ -43,7 +43,7 @@ def main():
                           num_examples=256, max_objects=9)
   cadence = dict(steps_per_valid=250, steps_per_trainval=250,
                  steps_per_plot=0, num_batch_valid=4, prefetch=True,
-                 num_worker=2)
+                 num_worker=2, device_data=True)
   full_id = args.box_id.replace('box_model', 'full_model')
 
   if not args.skip_box:

@@ -170,7 +170,7 @@ def run_synth(args):
     full_steps = args.num_steps or 20000
     cadence = dict(steps_per_valid=250, steps_per_trainval=250,
                    steps_per_plot=0, num_batch_valid=4, prefetch=True,
-                   num_worker=2)
+                   num_worker=2, device_data=True)
   else:
     data_cfg = C.data_config_for('synth', args.dataset_folder)
     box_cfg = C.tiny_box_config(timespan=6)
@@ -233,7 +233,7 @@ def run_synth3(args):
     full_steps = args.full_steps or 16000
     cadence = dict(steps_per_valid=250, steps_per_trainval=250,
                    steps_per_plot=0, num_batch_valid=4, prefetch=True,
-                   num_worker=2)
+                   num_worker=2, device_data=True)
   else:
     data_cfg = C.DataConfig(dataset='synth', folder=args.dataset_folder,
                             height=64, width=64, timespan=6,
@@ -277,11 +277,97 @@ def run_synth3(args):
   log.info(f'Pipeline done: {fg_id} -> {box_id} -> {full_id}')
 
 
+def run_synth_cs(args):
+  """Three-stage pipeline with the CITYSCAPES presets on multiclass synth
+  data (256x512, T=20, 2 instance classes by shape family -> 3 config
+  classes incl. background): exercises the multiclass fg softmax head,
+  the multiclass box score head (softmax + 1-s0 conf loss) and the
+  9ch-analogue packed y_in through real training, matching the
+  reference's run_cityscapes.sh stage wiring."""
+  log = logger.get()
+  model_id = args.model_id or assign_model_id()
+  fg_id = f'fg_model_synthcs-{model_id}'
+  box_id = f'box_model_synthcs-{model_id}'
+  full_id = f'full_model_synthcs-{model_id}'
+  paper = args.scale == 'paper'
+  stages = set(args.stages.split(','))
+  nsc_data = 2                  # instance classes (ellipse / rectangle)
+  nsc_cfg = nsc_data + 1        # + background channel
+
+  if paper:
+    data_cfg = C.DataConfig(dataset='synth', folder=args.dataset_folder,
+                            height=256, width=512, timespan=20,
+                            num_examples=128, max_objects=10,
+                            num_semantic_classes=nsc_data)
+    fg_cfg = C.cityscapes_fg_config()
+    fg_cfg = fg_cfg.replace(
+        num_semantic_classes=nsc_cfg,
+        dcnn_depth=fg_cfg.dcnn_depth[:-1] + (nsc_cfg + 8,))
+    box_cfg = C.cityscapes_box_config().replace(num_semantic_classes=nsc_cfg)
+    full_base = C.cityscapes_full_config().replace(
+        num_semantic_classes=nsc_cfg)
+    bs_fg, bs = 8, 4
+    fg_steps = args.fg_steps or 1500
+    box_steps = args.box_steps or 4000
+    full_steps = args.full_steps or 6000
+    cadence = dict(steps_per_valid=250, steps_per_trainval=250,
+                   steps_per_plot=0, num_batch_valid=4, prefetch=True,
+                   num_worker=2, device_data=True)
+  else:
+    data_cfg = C.DataConfig(dataset='synth', folder=args.dataset_folder,
+                            height=64, width=64, timespan=6,
+                            num_examples=32, max_objects=4,
+                            num_semantic_classes=nsc_data)
+    fg_cfg = C.tiny_fg_config(add_orientation=True,
+                              num_semantic_classes=nsc_cfg,
+                              dcnn_depth=(8, 4, nsc_cfg + 8))
+    box_cfg = C.tiny_box_config(timespan=6, add_d_out=True, add_y_out=True,
+                                num_semantic_classes=nsc_cfg)
+    full_base = C.tiny_full_config(
+        timespan=6, use_knob=True, add_d_out=True, add_y_out=True,
+        num_semantic_classes=nsc_cfg,
+        ctrl_add_inp=True, ctrl_add_canvas=True,
+        attn_add_inp=True, attn_add_canvas=True)
+    bs_fg = bs = 4
+    fg_steps = box_steps = full_steps = args.num_steps or 20
+    cadence = dict(steps_per_valid=max(fg_steps // 2, 1),
+                   steps_per_trainval=max(fg_steps // 2, 1),
+                   steps_per_plot=0)
+
+  train_cfg = C.TrainConfig(model_id=fg_id, num_steps=fg_steps,
+                            batch_size=bs_fg, save_ckpt=True,
+                            results=args.results, logs=args.logs, **cadence)
+  if 'fg' in stages:
+    TrainingExperiment('fg', fg_cfg, train_cfg, data_cfg).run()
+  if 'pack' in stages:
+    pack_cli.fg_main(['--model_id', fg_id, '--results', args.results,
+                      '--dataset', 'synth', '--split', 'train,valid',
+                      '--batch_size', str(bs_fg)])
+  if 'box' in stages:
+    train_cfg = train_cfg.replace(model_id=box_id, num_steps=box_steps,
+                                  batch_size=bs)
+    TrainingExperiment('box', box_cfg, train_cfg, data_cfg).run()
+  if 'full' in stages:
+    weights = read_weights.box_main(
+        ['--model_id', box_id, '--results', args.results])
+    full_cfg = full_base.replace(pretrain_ctrl_net=weights)
+    train_cfg = train_cfg.replace(model_id=full_id, num_steps=full_steps,
+                                  batch_size=bs)
+    TrainingExperiment('full', full_cfg, train_cfg, data_cfg).run()
+  if 'eval' in stages:
+    eval_cli.full_main(['--model_id', full_id, '--results', args.results,
+                        '--dataset', 'synth', '--split', 'valid',
+                        '--batch_size', str(bs)]
+                       + (['--dataset_folder', args.dataset_folder]
+                          if args.dataset_folder else []))
+  log.info(f'Pipeline done: {fg_id} -> {box_id} -> {full_id}')
+
+
 def main():
   parser = argparse.ArgumentParser()
   parser.add_argument('--dataset', default='cvppp',
                       choices=['cvppp', 'kitti', 'cityscapes', 'synth',
-                               'synth3'])
+                               'synth3', 'synthcs'])
   parser.add_argument('--dataset_folder', default=None)
   parser.add_argument('--results', default='results')
   parser.add_argument('--logs', default='logs')
@@ -304,6 +390,8 @@ def main():
     run_synth(args)
   elif args.dataset == 'synth3':
     run_synth3(args)
+  elif args.dataset == 'synthcs':
+    run_synth_cs(args)
   elif args.dataset == 'cityscapes':
     run_cityscapes(args)
   else:

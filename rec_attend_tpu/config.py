@@ -459,6 +459,12 @@ class TrainConfig(_ConfigBase):
   prefetch: bool = False
   queue_size: int = 50
   num_worker: int = 4
+  # Device-resident training data (TPU-native, no reference equivalent):
+  # preload the WHOLE train split to HBM as uint8 once and gather each
+  # batch inside the jitted step — the steady-state loop transfers only
+  # the index vector and the PRNG key.  Behind a network-tunnelled chip
+  # this removes ~15 MB (and several dispatch round-trips) per step.
+  device_data: bool = False
 
 
 @dataclass(frozen=True)
@@ -482,10 +488,13 @@ class DataConfig(_ConfigBase):
   height: int = 224
   width: int = 224
   timespan: int = 21
-  # Generated-dataset knobs (synth only): train-split size and the maximum
-  # number of instances per image.  Other splits get num_examples // 4.
+  # Generated-dataset knobs (synth only): train-split size, the maximum
+  # number of instances per image, and the number of semantic classes
+  # (instances get a class by shape family — the Cityscapes-style
+  # multiclass analogue).  Other splits get num_examples // 4.
   num_examples: int = 32
   max_objects: int = 4
+  num_semantic_classes: int = 1
 
 
 def data_config_for(dataset: str, folder: Optional[str] = None) -> DataConfig:

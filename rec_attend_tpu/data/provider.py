@@ -43,8 +43,11 @@ def get(dataset_name, data_opt, split='train', h5_fname=None):
     num = int(opt.get('num_examples', 32) or 32)
     if split != 'train':
       num = max(num // 4, 8)
+    nsc = int(opt.get('num_semantic_classes', 1) or 1)
     gen = dict(num_examples=num, seed=seed,
                max_objects=int(opt.get('max_objects', 4) or 4))
+    if nsc > 1:   # key absent for nsc=1 keeps pre-round-3 metas valid
+      gen['num_semantic_classes'] = nsc
     meta_fname = h5_fname + '.meta.json'
     if os.path.exists(h5_fname):
       # The generation knobs are not part of the filename convention, so
@@ -54,7 +57,7 @@ def get(dataset_name, data_opt, split='train', h5_fname=None):
         with open(meta_fname) as f:
           meta = json.load(f)
       if meta == gen:
-        return Synthetic(h5_fname)
+        return Synthetic(h5_fname, num_semantic_classes=nsc)
       from rec_attend_tpu.utils import logger
       logger.get().warning(
           f'Regenerating {h5_fname}: generation knobs changed '

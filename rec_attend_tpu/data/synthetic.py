@@ -17,13 +17,19 @@ from rec_attend_tpu.data.dataset import InsSegDataset
 
 
 class SyntheticAssembler(InsSegAssembler):
-  """Generates images on the fly and assembles them like any other set."""
+  """Generates images on the fly and assembles them like any other set.
+
+  num_semantic_classes > 1 assigns each instance a semantic class by shape
+  family (ellipse=0, rectangle=1, alternating beyond two) — the synthetic
+  analogue of Cityscapes' 8 instance classes, enabling multiclass fg/box
+  training without external data."""
 
   def __init__(self, opt, output_fname, num_examples=32, seed=3,
-               max_objects=4):
+               max_objects=4, num_semantic_classes=1):
     self.num_examples = num_examples
     self.seed = seed
     self.max_objects = max_objects
+    self.num_semantic_classes = num_semantic_classes
     self.height = opt.get('gen_height', opt['height'])
     self.width = opt.get('gen_width', opt['width'])
     self._cache = {}
@@ -43,13 +49,15 @@ class SyntheticAssembler(InsSegAssembler):
     img = (rng.rand(h, w, 3) * 40 + 20).astype('uint8')
     num_obj = rng.randint(1, self.max_objects + 1)
     masks = []
+    classes = []
     for _ in range(num_obj):
       mask = np.zeros((h, w), np.uint8)
       cy, cx = rng.randint(h // 6, 5 * h // 6), rng.randint(w // 6,
                                                             5 * w // 6)
       ry, rx = rng.randint(h // 12, h // 5), rng.randint(w // 12, w // 5)
       colour = tuple(int(c) for c in rng.randint(90, 255, 3))
-      if rng.rand() < 0.5:
+      shape = rng.randint(0, max(2, self.num_semantic_classes))
+      if shape % 2 == 0:
         cv2.ellipse(mask, (cx, cy), (rx, ry), rng.rand() * 180, 0, 360, 1,
                     -1)
         cv2.ellipse(img, (cx, cy), (rx, ry), 0, 0, 360, colour, -1)
@@ -61,22 +69,31 @@ class SyntheticAssembler(InsSegAssembler):
       for m in masks:
         m &= (1 - mask)
       masks.append(mask)
-    masks = [m for m in masks if m.sum() > 0]
-    self._cache[img_id] = (img, masks)
-    return img, masks
+      classes.append(shape % max(1, self.num_semantic_classes))
+    keep = [i for i, m in enumerate(masks) if m.sum() > 0]
+    masks = [masks[i] for i in keep]
+    classes = [classes[i] for i in keep]
+    self._cache[img_id] = (img, masks, classes)
+    return img, masks, classes
 
   def get_image(self, img_id):
     return self._generate(img_id)[0]
 
   def get_segmentations(self, img_id):
-    _, masks = self._generate(img_id)
-    sem = [np.zeros((self.height, self.width), np.uint8)]
-    for m in masks:
-      sem[0] = np.maximum(sem[0], m)
-    return masks, sem, [0] * len(masks)
+    _, masks, classes = self._generate(img_id)
+    nsc = max(1, self.num_semantic_classes)
+    sem = [np.zeros((self.height, self.width), np.uint8)
+           for _ in range(nsc)]
+    for m, c in zip(masks, classes):
+      sem[c] = np.maximum(sem[c], m)
+    return masks, sem, list(classes)
 
 
 class Synthetic(InsSegDataset):
+
+  def __init__(self, h5_fname, num_semantic_classes=1, **kw):
+    super().__init__(h5_fname, **kw)
+    self._num_semantic_classes = num_semantic_classes
 
   def get_name(self):
     return 'synth'
@@ -84,11 +101,15 @@ class Synthetic(InsSegDataset):
   def get_default_timespan(self):
     return 6
 
+  def get_num_semantic_classes(self):
+    return self._num_semantic_classes
+
 
 def make_synthetic_h5(path, height=64, width=64, num_examples=32, seed=3,
-                      max_objects=4):
+                      max_objects=4, num_semantic_classes=1):
   """One-call helper: build a synthetic H5 and return a Synthetic dataset."""
   opt = {'height': height, 'width': width}
   SyntheticAssembler(opt, path, num_examples=num_examples, seed=seed,
-                     max_objects=max_objects).assemble()
-  return Synthetic(path)
+                     max_objects=max_objects,
+                     num_semantic_classes=num_semantic_classes).assemble()
+  return Synthetic(path, num_semantic_classes=num_semantic_classes)

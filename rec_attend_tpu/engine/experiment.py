@@ -184,8 +184,22 @@ class TrainingExperiment(ExperimentBase):
 
     freeze = (self.spec.freeze_fn(self.params, model_cfg)
               if self.spec.freeze_fn else None)
-    self.train_step, self.tx = ts_lib.make_train_step(
-        self.spec.loss_fn, model_cfg, freeze=freeze, mesh=mesh)
+    self.use_device_data = bool(train_cfg.device_data) and mesh is None
+    if self.use_device_data:
+      # Device-resident data path: the jitted step gathers its batch from
+      # HBM-resident split tensors — only the index vector and key cross
+      # the host->device link each step.
+      inner, self.tx = ts_lib.make_train_step(
+          self.spec.loss_fn, model_cfg, freeze=freeze, jit=False)
+
+      def gather_step(params, opt_state, data, idx, key, step):
+        batch = {k: jnp.take(v, idx, axis=0) for k, v in data.items()}
+        return inner(params, opt_state, batch, key, step)
+
+      self.train_step = jax.jit(gather_step, donate_argnums=(0, 1))
+    else:
+      self.train_step, self.tx = ts_lib.make_train_step(
+          self.spec.loss_fn, model_cfg, freeze=freeze, mesh=mesh)
     self.eval_step = ts_lib.make_eval_step(self.spec.loss_fn, model_cfg,
                                            mesh=mesh)
     self.opt_state = self.tx.init(self.params)
@@ -206,19 +220,57 @@ class TrainingExperiment(ExperimentBase):
     timespan = getattr(model_cfg, 'timespan', None)
     bs = train_cfg.batch_size
 
-    def make_iter(ds, cycle=True, stagnant=False):
+    def make_iter(ds, cycle=True, prefetch=None):
       it = BatchIterator(
           ds.get_dataset_size(), batch_size=bs, cycle=cycle,
           shuffle=True, get_fn=self.make_batch_fn(ds, timespan))
-      if train_cfg.prefetch:
+      if train_cfg.prefetch if prefetch is None else prefetch:
         it = ConcurrentBatchIterator(
             it, max_queue_size=train_cfg.queue_size,
             num_threads=train_cfg.num_worker)
       return it
 
-    self.train_iter = make_iter(self.train_ds)
+    # With device-resident data the host train iterator only serves the
+    # cadenced trainval eval pass — no point prefetching for it.
+    self.train_iter = make_iter(self.train_ds,
+                                prefetch=(False if self.use_device_data
+                                          else None))
     self.valid_iter = (make_iter(self.valid_ds)
                        if self.valid_ds is not None else None)
+
+    self.device_train_data = None
+    if self.use_device_data:
+      self.device_train_data = self._load_device_split(self.train_ds,
+                                                       timespan)
+      n = self.train_ds.get_dataset_size()
+      self._idx_rng = np.random.RandomState(1234 + seed)
+      self._perm = self._idx_rng.permutation(n)
+      self._ptr = 0
+
+  def _load_device_split(self, ds, timespan, chunk=32):
+    """Decode the whole split once and pin it to HBM (uint8-encoded)."""
+    n = ds.get_dataset_size()
+    get = self.make_batch_fn(ds, timespan)
+    chunks = [ts_lib.encode_batch(get(np.arange(i, min(i + chunk, n))))
+              for i in range(0, n, chunk)]
+    data = {k: np.concatenate([c[k] for c in chunks])
+            for k in chunks[0]}
+    mb = sum(v.nbytes for v in data.values()) / 1e6
+    self.log.info(f'Device-resident train split: {n} examples, {mb:.0f} MB')
+    return {k: jnp.asarray(v) for k, v in data.items()}
+
+  def _next_train_idx(self, bs):
+    """Shuffled-epoch sampling over the device-resident split (matches
+    BatchIterator's cycle+shuffle semantics)."""
+    n = len(self._perm)
+    if self._ptr + bs > n:
+      tail = self._perm[self._ptr:]
+      self._perm = self._idx_rng.permutation(n)
+      self._ptr = bs - len(tail)
+      return np.concatenate([tail, self._perm[:self._ptr]])
+    out = self._perm[self._ptr:self._ptr + bs]
+    self._ptr += bs
+    return out
 
   def _logger_for(self, name, labels):
     if name not in self.loggers:
@@ -286,11 +338,17 @@ class TrainingExperiment(ExperimentBase):
         t_window = time.time()
         window_steps = 0
 
-      batch = next(self.train_iter)
       self.key, k = jax.random.split(self.key)
-      self.params, self.opt_state, metrics = self.train_step(
-          self.params, self.opt_state, self._device_batch(batch), k,
-          jnp.asarray(self.step, jnp.float32))
+      if self.device_train_data is not None:
+        idx = jnp.asarray(self._next_train_idx(cfg.batch_size))
+        self.params, self.opt_state, metrics = self.train_step(
+            self.params, self.opt_state, self.device_train_data, idx, k,
+            jnp.asarray(self.step, jnp.float32))
+      else:
+        batch = next(self.train_iter)
+        self.params, self.opt_state, metrics = self.train_step(
+            self.params, self.opt_state, self._device_batch(batch), k,
+            jnp.asarray(self.step, jnp.float32))
       self.step += 1
       window_steps += 1
 

@@ -3,6 +3,7 @@ resume, eval iteration."""
 
 import os
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -147,6 +148,25 @@ def test_eval_restore_params_only_checkpoint(tmp_path):
   np.testing.assert_allclose(
       np.asarray(ev.params['cnn'][0]['w']),
       np.asarray(exp.params['cnn'][0]['w']))
+
+
+def test_training_device_resident_data(tmp_path):
+  """device_data=True pins the split to device memory and gathers batches
+  in-jit; the loop must train to completion and checkpoint normally."""
+  model_cfg, train_cfg, data_cfg = _tiny_setup(tmp_path, 'box', num_steps=4)
+  train_cfg = train_cfg.replace(device_data=True, model_id='box_dev')
+  exp = exp_lib.TrainingExperiment('box', model_cfg, train_cfg, data_cfg)
+  assert exp.device_train_data is not None
+  assert exp.device_train_data['x'].dtype == jnp.uint8
+  n = exp.train_ds.get_dataset_size()
+  assert exp.device_train_data['x'].shape[0] == n
+  # Epoch sampler: two epochs' worth of indices cover every example twice.
+  seen = np.concatenate([exp._next_train_idx(2) for _ in range(n)])
+  assert np.bincount(seen, minlength=n).min() >= 1
+  exp.run()
+  assert exp.step == 4
+  folder = os.path.join(train_cfg.results, 'box_dev')
+  assert any(f.startswith('ckpt-') for f in os.listdir(folder))
 
 
 def test_training_experiment_fg(tmp_path):
