@@ -39,6 +39,28 @@ def test_orientation_classes_valid():
   assert one_hot.sum() == y.max(axis=1).sum()
 
 
+def test_synthetic_multiclass(tmp_path):
+  """num_semantic_classes>1 assigns shape-family classes: the H5 carries
+  per-class semantic maps + instance class ids, and get_batch produces the
+  (nsc+1)-channel c_gt with a background channel (Cityscapes convention)."""
+  from rec_attend_tpu.data.synthetic import make_synthetic_h5
+  ds = make_synthetic_h5(str(tmp_path / 'mc.h5'), height=32, width=32,
+                         num_examples=6, num_semantic_classes=2)
+  assert ds.get_num_semantic_classes() == 2
+  batch = ds.get_batch([0, 1, 2, 3], variables={'c_gt', 'c_gt_idx', 'y_gt'})
+  assert batch['c_gt'].shape == (4, 32, 32, 3)
+  # Background channel complements the class channels.
+  np.testing.assert_allclose(
+      batch['c_gt'][..., 0], 1 - batch['c_gt'][..., 1:].max(axis=-1))
+  # Per-instance class one-hots live in channels 1..nsc.
+  idx = batch['c_gt_idx']
+  assert idx.shape == (4, ds.get_default_timespan(), 3)
+  present = batch['y_gt'].sum(axis=(2, 3)) > 0
+  assert (idx[present][:, 1:].sum(axis=-1) == 1).all()
+  # Both shape families occur somewhere in the split.
+  assert idx[present][:, 1].sum() > 0 and idx[present][:, 2].sum() > 0
+
+
 def test_synthetic_assembler_format(synth_ds):
   import h5py
   with h5py.File(synth_ds.h5_fname, 'r') as f:
