@@ -45,6 +45,27 @@ def read_analyzer_csvs(folder):
   return out
 
 
+def split_sweep(metrics):
+  """Split flat {name or name_NN: stats} into (plain, {thresh: {name: stats}}).
+
+  A threshold sweep writes per-threshold CSVs suffixed with the integer
+  percent (see cli/eval.py eval_split)."""
+  import re
+  plain, sweep = {}, {}
+  for key, stats in metrics.items():
+    m = re.fullmatch(r'(.+)_(\d{2,3})', key)
+    if m and not m.group(1)[-1].isdigit():
+      sweep.setdefault(int(m.group(2)) / 100.0, {})[m.group(1)] = stats
+    else:
+      plain[key] = stats
+  return plain, sweep
+
+
+def best_threshold(sweep, by='sbd'):
+  """Threshold with the highest mean of ``by`` (ties -> lower threshold)."""
+  return max(sorted(sweep), key=lambda t: sweep[t].get(by, (-1, 0))[0])
+
+
 def read_loss_curve(csv_path, field=2):
   """(step, value) rows of one column; skips empty cells (multi-channel
   CSVs leave the other channel blank on alternating cadences)."""
@@ -80,7 +101,12 @@ def synth3_section(args):
   import yaml
   full_folder = os.path.join(args.results, args.full_id)
   out_folder = os.path.join(full_folder, f'output_{args.split}')
-  metrics = read_analyzer_csvs(out_folder)
+  metrics, sweep = split_sweep(read_analyzer_csvs(out_folder))
+  thresh_note = 'threshold 0.3'
+  if sweep:
+    bt = best_threshold(sweep)
+    metrics = sweep[bt]
+    thresh_note = f'best threshold {bt:.2f} of a sweep'
   fg_folder = os.path.join(args.results, args.fg_id)
   fg_metrics = {}
   fg_json = os.path.join(fg_folder, f'fg_metrics_{args.split}.json')
@@ -140,7 +166,8 @@ def synth3_section(args):
     w(f'- full loss: {full_loss[0][1]:.4f} → {full_loss[-1][1]:.4f} '
       f'(step {full_loss[-1][0]})')
   w('')
-  w(f'### Instance eval ({args.split} split, packed-channel model)')
+  w(f'### Instance eval ({args.split} split, packed-channel model, '
+    f'{thresh_note})')
   w('')
   w('| Metric | Mean | Std |')
   w('|---|---|---|')
@@ -152,6 +179,16 @@ def synth3_section(args):
       mean, std = metrics[name]
       w(f'| {name} | {mean:.4f} | {std:.4f} |')
   w('')
+  if sweep:
+    w('| Threshold | SBD | count_acc | \\|DiC\\| |')
+    w('|---|---|---|---|')
+    for t in sorted(sweep):
+      row = sweep[t]
+      cells = [f'{row[k][0]:.4f}' if k in row else '—'
+               for k in ('sbd', 'count_acc', 'dic_abs')]
+      mark = ' ←' if t == bt else ''
+      w(f'| {t:.2f}{mark} | ' + ' | '.join(cells) + ' |')
+    w('')
   w(f'Analyzer CSVs: `{out_folder}/`.  Regenerate: `python '
     'pipelines/run_pipeline.py --dataset synth3 --scale paper`.')
   w('')
@@ -186,7 +223,13 @@ def main():
 
   full_folder = os.path.join(args.results, args.full_id)
   out_folder = os.path.join(full_folder, f'output_{args.split}')
-  metrics = read_analyzer_csvs(out_folder)
+  metrics, sweep = split_sweep(read_analyzer_csvs(out_folder))
+  thresh_note = 'threshold 0.3'
+  if sweep:
+    bt = best_threshold(sweep)
+    metrics = sweep[bt]
+    thresh_note = (f'best threshold {bt:.2f} of sweep '
+                   f'{[f"{t:.2f}" for t in sorted(sweep)]}')
   full_step = latest_ckpt_step(full_folder)
   box_step = (latest_ckpt_step(os.path.join(args.results, args.box_id))
               if args.box_id else None)
@@ -247,7 +290,7 @@ def main():
       f'{valid_iou[-1][1]:.4f}')
   w('')
   w(f'## Eval metrics ({args.split} split, postprocess chain '
-    'conf→upsample→one-label→threshold 0.3)')
+    f'conf→upsample→one-label→{thresh_note})')
   w('')
   w('| Metric | Mean | Std | Paper target (real CVPPP, context) |')
   w('|---|---|---|---|')
@@ -263,6 +306,18 @@ def main():
     tgt_s = f'{tgt[1]} ({tgt[0]})' if tgt else '—'
     w(f'| {name} | {mean:.4f} | {std:.4f} | {tgt_s} |')
   w('')
+  if sweep:
+    w('### Mask/score threshold sweep (count calibration)')
+    w('')
+    w('| Threshold | SBD | count_acc | \\|DiC\\| | count_mse |')
+    w('|---|---|---|---|---|')
+    for t in sorted(sweep):
+      row = sweep[t]
+      cells = [f'{row[k][0]:.4f}' if k in row else '—'
+               for k in ('sbd', 'count_acc', 'dic_abs', 'count_mse')]
+      mark = ' ←' if t == bt else ''
+      w(f'| {t:.2f}{mark} | ' + ' | '.join(cells) + ' |')
+    w('')
   w('Analyzer CSVs (per-example scores + Mean/Std trailers): '
     f'`{out_folder}/`.')
   w('')

@@ -40,8 +40,12 @@ def eval_split(exp, split, output_folder, threshold_list, analyzer_names,
     _analyzers = []
     suffix = f' {tt:.2f}'
     thresh_folder = f'{int(tt * 100):02d}'
+    # Single threshold keeps the plain {name}.csv contract; a sweep writes
+    # per-threshold files so the analyzers don't truncate each other.
+    csv_stem = (f'{{}}.csv' if len(threshold_list) == 1 else
+                f'{{}}_{thresh_folder}.csv')
     for name in analyzer_names:
-      fname = os.path.join(output_folder, f'{name}.csv')
+      fname = os.path.join(output_folder, csv_stem.format(name))
       _analyzers.append(analysis.create_analyzer(
           name, display_name=name + suffix, fname=fname))
     if render_output:

@@ -89,3 +89,27 @@ def test_step_counter():
   assert c.increment() == 6
   c.reset()
   assert c.get() == 0
+
+
+def test_threshold_sweep_csvs_and_parsing(tmp_path):
+  """A threshold sweep writes per-threshold analyzer CSVs that don't
+  truncate each other, and write_results groups them per threshold."""
+  import sys
+  sys.path.insert(0, os.path.dirname(os.path.dirname(
+      os.path.abspath(__file__))))
+  from pipelines.write_results import (read_analyzer_csvs, split_sweep,
+                                       best_threshold)
+  from rec_attend_tpu import analysis
+
+  for thresh, val in ((0.3, 0.8), (0.5, 0.9)):
+    stem = f'{int(thresh * 100):02d}'
+    a = analysis.create_analyzer(
+        'sbd', fname=str(tmp_path / f'sbd_{stem}.csv'))
+    a.sum, a.sum2, a.num_ex = val, val * val, 1
+    a.finalize()
+  metrics = read_analyzer_csvs(str(tmp_path))
+  plain, sweep = split_sweep(metrics)
+  assert not plain
+  assert set(sweep) == {0.3, 0.5}
+  assert sweep[0.5]['sbd'][0] == 0.9
+  assert best_threshold(sweep) == 0.5
