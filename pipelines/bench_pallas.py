@@ -57,8 +57,15 @@ def bench_model(name, cfg, batch_size, results, iters=6):
   import jax
   from rec_attend_tpu.models import full_model
 
+  import jax.numpy as jnp
   key = jax.random.PRNGKey(0)
   b = _batch(np.random.RandomState(0), cfg, batch_size)
+  h, w = cfg.inp_height, cfg.inp_width
+  if cfg.add_d_out:
+    b['d_in'] = jnp.zeros((batch_size, h, w, 8), jnp.float32)
+  if cfg.add_y_out:
+    b['y_in'] = jnp.zeros((batch_size, h, w, cfg.num_semantic_classes),
+                          jnp.float32)
   keys = [jax.device_put(k) for k in jax.random.split(key, 8)]
   jax.block_until_ready(keys)
   for label in ('einsum', 'pallas'):

@@ -7,22 +7,23 @@ contractions (ops/attention.py):
   paste:   out[b,h,w,d]   = sum_fg f_y[b,h,f] p[b,f,g,d] f_x[b,w,g]
 
 XLA lowers the einsum forms to two batched matmuls with an intermediate
-[B, FH, W, D] buffer bounced through HBM.  These kernels fuse both matmuls
-per batch element so the intermediate lives in VMEM only.
+[B, FH, W, D] (or [B, H, FW, D]) buffer bounced through HBM.  These kernels
+fuse both matmuls per batch element so the intermediate lives in VMEM only.
 
-Layout design (round 3 — the round-2 kernels lost 1.7x to the einsum path
-because they bracketed every call with full-tensor [B,H,W,D] <-> [B,D,H,W]
-HBM transposes and unrolled a python loop of 1-channel matmuls):
-
-  - operate on the model's native channels-last layout, viewing [B, H, W, D]
-    as [B, H, W*D] — a free row-major regroup, no data movement;
-  - contract H / FH on the MXU with (W*D) as the lane dimension;
-  - every mid-kernel rearrangement is either a free row-major regroup
-    ([(a b), c] <-> [a, (b c)]) or a small VMEM transpose — never an HBM
-    round trip;
-  - wide shapes are blocked over W chunks: paste writes disjoint output
-    chunks, extract accumulates partial (W-chunk) contractions in a VMEM
-    scratch accumulator and writes once on the last chunk.
+STATUS — capability/testing path, default-off (``cfg.use_pallas``).
+Measured on a v5e chip (docs/BENCH_PALLAS.json, docs/BENCH_NOTES.md): the
+XLA einsum path wins at every model shape, and the round-3 attempt at a
+channels-last ("lane-major") fused kernel is not expressible in Mosaic —
+the W-contraction of a [H, W*D] channels-last tile needs a mid-kernel
+(w d)-lane regroup whose relayout Mosaic either rejects (block-shape
+divisibility at 256x512) or crashes on (tpu_compile_helper exit 1 at
+224x224).  This channel-major formulation below is the Mosaic-friendly
+one, but it must bracket every call with full-tensor [B,H,W,D]<->[B,D,H,W]
+HBM transposes (~4x the einsum's intermediate traffic at CVPPP shapes),
+which is exactly where the 1.7x loss comes from.  Conclusion: for these
+filter sizes (48, unaligned to the 128-lane MXU) and a channels-last model
+layout, XLA's two-matmul lowering is the right program; the kernels stay
+as a differential-testing twin of ops/attention.py.
 
 Gradients: a custom VJP keeps training supported — d/dx of extract is a
 paste with the same filters (and vice versa), and filter gradients are thin
@@ -31,6 +32,8 @@ non-TPU backends so the CPU test suite exercises the same code path.
 """
 
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -43,141 +46,93 @@ def _interpret():
 
 
 # ---------------------------------------------------------------------------
-# W-chunk sizing
-# ---------------------------------------------------------------------------
-
-# Per-block VMEM budget for the dominant [H, wb*D] buffer (v5e has ~16 MiB
-# of VMEM/core; leave room for the filter blocks, the intermediate, and
-# double buffering).
-_VMEM_BLOCK_BUDGET = 2 * 1024 * 1024
-
-
-def _w_chunk(h, w, d):
-  """Largest divisor of ``w`` whose [h, wb*d] f32 block fits the budget."""
-  for nj in range(1, w + 1):
-    if w % nj:
-      continue
-    wb = w // nj
-    if h * wb * d * 4 <= _VMEM_BLOCK_BUDGET:
-      return wb
-  return 1
-
-
-# ---------------------------------------------------------------------------
 # Kernels
 # ---------------------------------------------------------------------------
 
-def _extract_kernel(x_ref, fy_ref, fx_ref, out_ref, acc_ref):
-  """One (batch, w-chunk) tile.
+# VMEM budget per input block (bytes).  v5e has ~16 MiB VMEM/core; the
+# x block is the dominant buffer, so cap it at ~1/4 and let the channel
+# grid dimension cover the rest (VERDICT r1 #10: the unblocked kernel
+# stopped fitting at Cityscapes 256x512 with wide glimpse inputs).
+_VMEM_BLOCK_BUDGET = 4 * 1024 * 1024
 
-  x_ref [1, H, wb*D] (channels-last view), fy_ref [1, H, FH],
-  fx_ref [1, wb, FW]; acc_ref scratch [FW, D*FH]; out_ref [1, FH, FW*D].
-  """
-  j = pl.program_id(1)
-  fh = fy_ref.shape[2]
-  fw = fx_ref.shape[2]
-  wb = fx_ref.shape[1]
-  d = x_ref.shape[2] // wb
 
-  # tmp[(w d), f] = sum_h x[h, (w d)] f_y[h, f]   (MXU, lanes = FH)
-  tmp = jax.lax.dot_general(x_ref[0], fy_ref[0], (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-  # [(wb d), FH] -> [wb, (d FH)]: free row-major regroup.
-  tmp2 = tmp.reshape(wb, d * fh)
-  # part[g, (d f)] = sum_w f_x[w, g] tmp2[w, (d f)]
-  part = jax.lax.dot_general(fx_ref[0], tmp2, (((0,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
+def _channel_block(d, h, w):
+  per_channel = h * w * 4
+  return max(1, min(d, _VMEM_BLOCK_BUDGET // per_channel))
 
-  @pl.when(j == 0)
-  def _init():
-    acc_ref[...] = part
 
-  @pl.when(j > 0)
-  def _accum():
-    acc_ref[...] += part
-
-  @pl.when(j == pl.num_programs(1) - 1)
-  def _write():
-    # [FW, (d f)] -> [FH, FW, D] -> [FH, (g d)]: one small VMEM transpose.
-    out_ref[0] = acc_ref[...].reshape(fw, d, fh).transpose(2, 0, 1).reshape(
-        fh, fw * d)
+def _extract_kernel(x_ref, fy_ref, fx_ref, out_ref):
+  """One (batch, channel-block) tile, channels-major (Mosaic-friendly:
+  every op is a 2-D matmul on the (sublane, lane) dims; the channel loop
+  is a static unroll of the block size):
+  x [1, DB, H, W], f_y [1, H, FH], f_x [1, W, FW] -> out [1, DB, FH, FW]."""
+  _, d, h, w = x_ref.shape
+  fy_t = fy_ref[0].T                                    # [FH, H]
+  fx = fx_ref[0]                                        # [W, FW]
+  for dd in range(d):
+    tmp = jnp.dot(fy_t, x_ref[0, dd], preferred_element_type=jnp.float32)
+    out_ref[0, dd] = jnp.dot(tmp, fx, preferred_element_type=jnp.float32)
 
 
 def _paste_kernel(p_ref, fy_ref, fx_ref, out_ref):
-  """One (batch, w-chunk) tile; chunks write disjoint output columns.
+  """One (batch, channel-block) tile: p [1, DB, FH, FW], f_y [1, H, FH],
+  f_x [1, W, FW] -> out [1, DB, H, W]."""
+  _, d, fh, fw = p_ref.shape
+  fy = fy_ref[0]                                        # [H, FH]
+  fx_t = fx_ref[0].T                                    # [FW, W]
+  for dd in range(d):
+    tmp = jnp.dot(fy, p_ref[0, dd], preferred_element_type=jnp.float32)
+    out_ref[0, dd] = jnp.dot(tmp, fx_t, preferred_element_type=jnp.float32)
 
-  p_ref [1, FH, FW*D], fy_ref [1, H, FH], fx_ref [1, wb, FW];
-  out_ref [1, H, wb*D].
-  """
-  h = fy_ref.shape[1]
-  fh = fy_ref.shape[2]
-  wb = fx_ref.shape[1]
-  fw = fx_ref.shape[2]
-  d = p_ref.shape[2] // fw
-
-  # s[(g d), h] = sum_f p[f, (g d)] f_y[h, f]   (produced pre-transposed)
-  s = jax.lax.dot_general(p_ref[0], fy_ref[0], (((0,), (1,)), ((), ())),
-                          preferred_element_type=jnp.float32)
-  # [(fw d), H] -> [FW, (d H)]: free row-major regroup.
-  s2 = s.reshape(fw, d * h)
-  # o[w, (d h)] = sum_g f_x[w, g] s2[g, (d h)]
-  o = jax.lax.dot_general(fx_ref[0], s2, (((1,), (0,)), ((), ())),
-                          preferred_element_type=jnp.float32)
-  # [wb, (d h)] -> [H, wb, D] -> [H, (w d)]: one VMEM transpose.
-  out_ref[0] = o.reshape(wb, d, h).transpose(2, 0, 1).reshape(h, wb * d)
-
-
-# ---------------------------------------------------------------------------
-# pallas_call wrappers
-# ---------------------------------------------------------------------------
 
 def _extract_call(x, f_y, f_x):
   b, h, w, d = x.shape
   fh = f_y.shape[2]
   fw = f_x.shape[2]
-  wb = _w_chunk(h, w, d)
+  db = _channel_block(d, h, w)
+  x_cm = jnp.transpose(x, (0, 3, 1, 2))                 # [B, D, H, W]
   out = pl.pallas_call(
       _extract_kernel,
-      grid=(b, w // wb),
+      grid=(b, pl.cdiv(d, db)),
       in_specs=[
-          pl.BlockSpec((1, h, wb * d), lambda i, j: (i, 0, j),
+          pl.BlockSpec((1, db, h, w), lambda i, j: (i, j, 0, 0),
                        memory_space=pltpu.VMEM),
           pl.BlockSpec((1, h, fh), lambda i, j: (i, 0, 0),
                        memory_space=pltpu.VMEM),
-          pl.BlockSpec((1, wb, fw), lambda i, j: (i, j, 0),
+          pl.BlockSpec((1, w, fw), lambda i, j: (i, 0, 0),
                        memory_space=pltpu.VMEM),
       ],
-      out_specs=pl.BlockSpec((1, fh, fw * d), lambda i, j: (i, 0, 0),
+      out_specs=pl.BlockSpec((1, db, fh, fw), lambda i, j: (i, j, 0, 0),
                              memory_space=pltpu.VMEM),
-      out_shape=jax.ShapeDtypeStruct((b, fh, fw * d), jnp.float32),
-      scratch_shapes=[pltpu.VMEM((fw, d * fh), jnp.float32)],
+      out_shape=jax.ShapeDtypeStruct((b, d, fh, fw), jnp.float32),
       interpret=_interpret(),
-  )(x.reshape(b, h, w * d), f_y, f_x)
-  return out.reshape(b, fh, fw, d)
+  )(x_cm, f_y, f_x)
+  return jnp.transpose(out, (0, 2, 3, 1))               # [B, FH, FW, D]
 
 
 def _paste_call(p, f_y, f_x):
   b, fh, fw, d = p.shape
   h = f_y.shape[1]
   w = f_x.shape[1]
-  wb = _w_chunk(h, w, d)
+  db = _channel_block(d, h, w)
+  p_cm = jnp.transpose(p, (0, 3, 1, 2))                 # [B, D, FH, FW]
   out = pl.pallas_call(
       _paste_kernel,
-      grid=(b, w // wb),
+      grid=(b, pl.cdiv(d, db)),
       in_specs=[
-          pl.BlockSpec((1, fh, fw * d), lambda i, j: (i, 0, 0),
+          pl.BlockSpec((1, db, fh, fw), lambda i, j: (i, j, 0, 0),
                        memory_space=pltpu.VMEM),
           pl.BlockSpec((1, h, fh), lambda i, j: (i, 0, 0),
                        memory_space=pltpu.VMEM),
-          pl.BlockSpec((1, wb, fw), lambda i, j: (i, j, 0),
+          pl.BlockSpec((1, w, fw), lambda i, j: (i, 0, 0),
                        memory_space=pltpu.VMEM),
       ],
-      out_specs=pl.BlockSpec((1, h, wb * d), lambda i, j: (i, 0, j),
+      out_specs=pl.BlockSpec((1, db, h, w), lambda i, j: (i, j, 0, 0),
                              memory_space=pltpu.VMEM),
-      out_shape=jax.ShapeDtypeStruct((b, h, w * d), jnp.float32),
+      out_shape=jax.ShapeDtypeStruct((b, d, h, w), jnp.float32),
       interpret=_interpret(),
-  )(p.reshape(b, fh, fw * d), f_y, f_x)
-  return out.reshape(b, h, w, d)
+  )(p_cm, f_y, f_x)
+  return jnp.transpose(out, (0, 2, 3, 1))               # [B, H, W, D]
 
 
 # ---------------------------------------------------------------------------

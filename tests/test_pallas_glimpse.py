@@ -97,14 +97,13 @@ def test_full_model_with_pallas_path():
                              atol=1e-4)
 
 
-def test_w_chunked_grid(data, monkeypatch):
-  """Force a tiny VMEM budget so the W-chunk grid dimension engages (>1
-  chunk, exercising the extract scratch accumulator and paste's disjoint
-  chunk writes); results must still match the einsum path exactly."""
+def test_channel_blocked_grid(data, monkeypatch):
+  """Force a tiny VMEM budget so the channel grid dimension engages (>1
+  block); results must still match the einsum path exactly."""
   x, f_y, f_x, p = data
-  h, w, d = x.shape[1], x.shape[2], x.shape[3]
-  monkeypatch.setattr(gk, '_VMEM_BLOCK_BUDGET', h * (w // 4) * d * 4)
-  assert gk._w_chunk(h, w, d) <= w // 4
+  h, w = x.shape[1], x.shape[2]
+  monkeypatch.setattr(gk, '_VMEM_BLOCK_BUDGET', h * w * 4)  # 1 ch/block
+  assert gk._channel_block(x.shape[3], h, w) == 1
   got = np.asarray(gk.extract_patch(x, f_y, f_x))
   want = np.asarray(attention.extract_patch(x, f_y, f_x))
   np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
@@ -113,9 +112,8 @@ def test_w_chunked_grid(data, monkeypatch):
   np.testing.assert_allclose(got_p, want_p, rtol=1e-4, atol=1e-5)
 
 
-def test_w_chunk_sizing():
-  """Cityscapes-sized inputs must stay under the VMEM block budget and the
-  chunk width must divide W."""
-  wb = gk._w_chunk(256, 512, 21)
-  assert 1 <= wb <= 512 and 512 % wb == 0
-  assert 256 * wb * 21 * 4 <= gk._VMEM_BLOCK_BUDGET
+def test_channel_block_sizing():
+  """Cityscapes-sized inputs must stay under the VMEM block budget."""
+  db = gk._channel_block(21, 256, 512)
+  assert 1 <= db <= 21
+  assert db * 256 * 512 * 4 <= gk._VMEM_BLOCK_BUDGET
