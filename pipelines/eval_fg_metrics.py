@@ -20,7 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
     __file__))))
 
 
-def main():
+def main(argv=None):
   p = argparse.ArgumentParser()
   p.add_argument('--model_id', required=True)
   p.add_argument('--results', default='results')
@@ -28,7 +28,7 @@ def main():
   p.add_argument('--batch_size', default=8, type=int)
   p.add_argument('--dataset', default='synth')
   p.add_argument('--dataset_folder', default=None)
-  args = p.parse_args()
+  args = p.parse_args(argv)
 
   import yaml
   from rec_attend_tpu import config as C

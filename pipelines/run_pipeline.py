@@ -269,9 +269,13 @@ def run_synth3(args):
     train_cfg = train_cfg.replace(model_id=full_id, num_steps=full_steps)
     TrainingExperiment('full', full_cfg, train_cfg, data_cfg).run()
   if 'eval' in stages:
+    from pipelines import eval_fg_metrics
+    eval_fg_metrics.main(['--model_id', fg_id, '--results', args.results,
+                          '--batch_size', str(bs)])
     eval_cli.full_main(['--model_id', full_id, '--results', args.results,
                         '--dataset', 'synth', '--split', 'valid',
-                        '--batch_size', str(bs)]
+                        '--batch_size', str(bs),
+                        '--threshold_list', '0.2,0.3,0.4,0.5,0.6,0.7']
                        + (['--dataset_folder', args.dataset_folder]
                           if args.dataset_folder else []))
   log.info(f'Pipeline done: {fg_id} -> {box_id} -> {full_id}')
@@ -355,9 +359,13 @@ def run_synth_cs(args):
                                   batch_size=bs)
     TrainingExperiment('full', full_cfg, train_cfg, data_cfg).run()
   if 'eval' in stages:
+    from pipelines import eval_fg_metrics
+    eval_fg_metrics.main(['--model_id', fg_id, '--results', args.results,
+                          '--batch_size', str(bs_fg)])
     eval_cli.full_main(['--model_id', full_id, '--results', args.results,
                         '--dataset', 'synth', '--split', 'valid',
-                        '--batch_size', str(bs)]
+                        '--batch_size', str(bs),
+                        '--threshold_list', '0.2,0.3,0.4,0.5,0.6,0.7']
                        + (['--dataset_folder', args.dataset_folder]
                           if args.dataset_folder else []))
   log.info(f'Pipeline done: {fg_id} -> {box_id} -> {full_id}')
