@@ -318,6 +318,12 @@ def main():
       mark = ' ←' if t == bt else ''
       w(f'| {t:.2f}{mark} | ' + ' | '.join(cells) + ' |')
     w('')
+  w('Note: `avg_fp`/`avg_fn` use the reference\'s zero-IoU definition '
+    '(a prediction counts as FP only if it overlaps NO ground-truth '
+    'instance, ref analysis.py:579-605), so duplicate segmentations of an '
+    'already-covered object lower `count_acc`/`obj_pr` without registering '
+    'as FPs.')
+  w('')
   w('Analyzer CSVs (per-example scores + Mean/Std trailers): '
     f'`{out_folder}/`.')
   w('')
