@@ -223,7 +223,8 @@ def run_synth3(args):
   if paper:
     data_cfg = C.DataConfig(dataset='synth', folder=args.dataset_folder,
                             height=128, width=448, timespan=20,
-                            num_examples=256, max_objects=12)
+                            num_examples=args.data_examples or 256,
+                            max_objects=12)
     fg_cfg = C.kitti_fg_config()
     box_cfg = C.kitti_box_config()
     full_base = C.kitti_full_config()
@@ -389,6 +390,8 @@ def main():
   parser.add_argument('--fg_steps', default=None, type=int)
   parser.add_argument('--box_steps', default=None, type=int)
   parser.add_argument('--full_steps', default=None, type=int)
+  parser.add_argument('--data_examples', default=None, type=int,
+                      help='override the train-split size (synth3 paper)')
   args = parser.parse_args()
   if args.dataset == 'cvppp':
     run_cvppp(args)
