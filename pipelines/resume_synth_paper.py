@@ -57,8 +57,12 @@ def main():
     log.info(f'Resumed box at step {exp.step}')
     exp.run()
 
-  weights = read_weights.box_main(
-      ['--model_id', args.box_id, '--results', args.results])
+  weights = os.path.join(args.results, args.box_id, 'weights.h5')
+  if not os.path.exists(weights):
+    # (re)derive from the box checkpoint; a committed weights.h5 survives
+    # environments where the .npz checkpoints (gitignored) do not.
+    weights = read_weights.box_main(
+        ['--model_id', args.box_id, '--results', args.results])
 
   full_cfg = C.cvppp_full_config().replace(pretrain_ctrl_net=weights)
   full_folder = os.path.join(args.results, full_id)
