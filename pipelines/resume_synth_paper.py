@@ -35,16 +35,23 @@ def main():
   parser.add_argument('--box_steps', default=12000, type=int)
   parser.add_argument('--full_steps', default=20000, type=int)
   parser.add_argument('--skip_box', action='store_true')
+  parser.add_argument('--data_examples', default=256, type=int,
+                      help='train-split size (changing it regenerates the '
+                           'synth H5s; pick a fresh --full_id)')
+  parser.add_argument('--full_id', default=None,
+                      help='override the full-model id (default: derived '
+                           'from --box_id); a fresh id trains from the box '
+                           'weights.h5 instead of resuming')
   args = parser.parse_args()
   log = logger.get()
 
   data_cfg = C.DataConfig(dataset='synth', folder=args.dataset_folder,
                           height=224, width=224, timespan=21,
-                          num_examples=256, max_objects=9)
+                          num_examples=args.data_examples, max_objects=9)
   cadence = dict(steps_per_valid=250, steps_per_trainval=250,
                  steps_per_plot=0, num_batch_valid=4, prefetch=True,
                  num_worker=2, device_data=True)
-  full_id = args.box_id.replace('box_model', 'full_model')
+  full_id = args.full_id or args.box_id.replace('box_model', 'full_model')
 
   if not args.skip_box:
     box_cfg = C.cvppp_box_config()
