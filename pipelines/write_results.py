@@ -94,11 +94,43 @@ def latest_ckpt_step(folder):
   return max(steps) if steps else None
 
 
-def synth3_section(args):
-  """Markdown section for the KITTI-shape three-stage pipeline
-  (fg -> pack -> box -> full, ref run_kitti.sh workflow on synth data)."""
+SECTION_FLAVORS = {
+    # title / blurb / regen command per three-stage section flavor.
+    'synth3': (
+        'Three-stage pipeline at KITTI shape (fg → pack → box → full)',
+        ["The reference's `run_kitti.sh` workflow executed END-TO-END: an "
+         'FCN',
+         'foreground+orientation model is trained, its predictions are '
+         'packed',
+         'into the H5 (`foreground_pred`/`orientation_pred`), and the box '
+         'and',
+         'full models are *trained through* the packed `d_in`/`y_in` '
+         'channels',
+         '(`add_d_out`/`add_y_out`, kitti presets: 128×448, T=20, '
+         'dynamic_var).',
+         'Dataset: built-in synth at KITTI shape, up to 12 objects/image.'],
+        'python pipelines/run_pipeline.py --dataset synth3 --scale paper'),
+    'synthcs': (
+        'Three-stage pipeline at Cityscapes shape (multiclass fg → pack → '
+        'box → full)',
+        ["The reference's `run_cityscapes.sh` stage wiring executed "
+         'END-TO-END',
+         'with the cityscapes presets (256×512, T=20) on multiclass synth',
+         'data (2 shape-family instance classes + background): multiclass',
+         'softmax fg head, multiclass box score head (1−s₀ conf loss), and',
+         'the semantic `y_in` channels packed through real training.'],
+        'python pipelines/run_pipeline.py --dataset synthcs --scale paper'),
+}
+
+SECTION_MARKER = '## Three-stage pipeline at '
+
+
+def three_stage_section(args):
+  """Markdown section for a three-stage pipeline run (fg -> pack -> box ->
+  full; ref run_kitti.sh / run_cityscapes.sh workflows on synth data)."""
   import json
   import yaml
+  title, blurb, regen = SECTION_FLAVORS[args.section]
   full_folder = os.path.join(args.results, args.full_id)
   out_folder = os.path.join(full_folder, f'output_{args.split}')
   metrics, sweep = split_sweep(read_analyzer_csvs(out_folder))
@@ -125,19 +157,16 @@ def synth3_section(args):
 
   lines = []
   w = lines.append
-  w('## Three-stage pipeline at KITTI shape (fg → pack → box → full)')
+  w(f'## {title}')
   w('')
-  w('The reference\'s `run_kitti.sh` workflow executed END-TO-END: an FCN')
-  w('foreground+orientation model is trained, its predictions are packed')
-  w('into the H5 (`foreground_pred`/`orientation_pred`), and the box and')
-  w('full models are *trained through* the packed `d_in`/`y_in` channels')
-  w('(`add_d_out`/`add_y_out`, kitti presets: 128×448, T=20, dynamic_var).')
-  w('Dataset: built-in synth at KITTI shape, up to 12 objects/image.')
+  for line in blurb:
+    w(line)
   w('')
   w('### Provenance')
   w('')
   w(f'- fg model: `{args.fg_id}` — '
-    f'step {latest_ckpt_step(fg_folder)}, 18-conv FCN, orientation head')
+    f'step {latest_ckpt_step(fg_folder)}, FCN (foreground + orientation '
+    'heads)')
   w(f'- box model: `{args.box_id}` — '
     f'step {latest_ckpt_step(os.path.join(args.results, args.box_id))}, '
     'packed-channel inputs')
@@ -189,8 +218,7 @@ def synth3_section(args):
       mark = ' ←' if t == bt else ''
       w(f'| {t:.2f}{mark} | ' + ' | '.join(cells) + ' |')
     w('')
-  w(f'Analyzer CSVs: `{out_folder}/`.  Regenerate: `python '
-    'pipelines/run_pipeline.py --dataset synth3 --scale paper`.')
+  w(f'Analyzer CSVs: `{out_folder}/`.  Regenerate: `{regen}`.')
   w('')
   return '\n'.join(lines)
 
@@ -204,21 +232,28 @@ def main():
   p.add_argument('--logs', default='logs')
   p.add_argument('--split', default='valid')
   p.add_argument('--out', default='RESULTS.md')
-  p.add_argument('--section', default='cvppp', choices=['cvppp', 'synth3'],
-                 help='synth3 appends the three-stage KITTI-shape section '
-                      'to --out instead of rewriting it')
+  p.add_argument('--section', default='cvppp',
+                 choices=['cvppp'] + sorted(SECTION_FLAVORS),
+                 help='synth3/synthcs append (or replace) their three-stage '
+                      'section in --out instead of rewriting the file')
   args = p.parse_args()
 
-  if args.section == 'synth3':
+  if args.section in SECTION_FLAVORS:
     assert args.fg_id and args.box_id, '--fg_id/--box_id required'
-    text = synth3_section(args)
+    text = three_stage_section(args)
     existing = open(args.out).read() if os.path.exists(args.out) else ''
-    marker = '## Three-stage pipeline at KITTI shape'
+    # Replace this flavor's section in place (up to the next section
+    # marker or EOF); other three-stage sections are left untouched.
+    marker = f'## {SECTION_FLAVORS[args.section][0]}'
     if marker in existing:
-      existing = existing[:existing.index(marker)].rstrip() + '\n\n'
+      start = existing.index(marker)
+      nxt = existing.find(SECTION_MARKER, start + len(marker))
+      tail = existing[nxt:] if nxt != -1 else ''
+      existing = existing[:start].rstrip() + '\n\n'
+      text = text.rstrip() + ('\n\n' + tail if tail else '\n')
     with open(args.out, 'w') as f:
       f.write(existing.rstrip() + '\n\n' + text)
-    print(f'appended synth3 section to {args.out}')
+    print(f'wrote {args.section} section in {args.out}')
     return
 
   full_folder = os.path.join(args.results, args.full_id)
@@ -333,8 +368,16 @@ def main():
     f'{args.box_id or "<box_id>"}`.')
   w('')
 
+  # Rewriting the CVPPP head must not drop the appended three-stage
+  # sections (synth3/synthcs) that live below it.
+  tail = ''
+  if os.path.exists(args.out):
+    existing = open(args.out).read()
+    idx = existing.find(SECTION_MARKER)
+    if idx != -1:
+      tail = '\n' + existing[idx:]
   with open(args.out, 'w') as f:
-    f.write('\n'.join(lines))
+    f.write('\n'.join(lines) + tail)
   print(f'wrote {args.out} ({len(metrics)} metrics)')
 
 
