@@ -113,3 +113,34 @@ def test_threshold_sweep_csvs_and_parsing(tmp_path):
   assert set(sweep) == {0.3, 0.5}
   assert sweep[0.5]['sbd'][0] == 0.9
   assert best_threshold(sweep) == 0.5
+
+
+def test_results_section_markers():
+  """Rewriting the RESULTS head or one three-stage section must leave the
+  other sections intact (write_results main() marker logic)."""
+  import sys
+  sys.path.insert(0, os.path.dirname(os.path.dirname(
+      os.path.abspath(__file__))))
+  from pipelines.write_results import SECTION_FLAVORS, SECTION_MARKER
+
+  # every flavor title is found by the shared marker scan
+  for title, _, _ in SECTION_FLAVORS.values():
+    assert f'## {title}'.startswith(SECTION_MARKER)
+
+  head = '# RESULTS\n\nhead text\n'
+  s3 = f'## {SECTION_FLAVORS["synth3"][0]}\n\nkitti body\n'
+  scs = f'## {SECTION_FLAVORS["synthcs"][0]}\n\ncs body\n'
+  doc = head + '\n' + s3 + '\n' + scs
+
+  # head rewrite keeps both trailing sections (mirrors main()'s tail scan)
+  idx = doc.find(SECTION_MARKER)
+  tail = doc[idx:]
+  assert tail.startswith(f'## {SECTION_FLAVORS["synth3"][0]}')
+  assert f'## {SECTION_FLAVORS["synthcs"][0]}' in tail
+
+  # replacing the synth3 section keeps the synthcs one (main()'s
+  # section-replacement scan)
+  marker = f'## {SECTION_FLAVORS["synth3"][0]}'
+  start = doc.index(marker)
+  nxt = doc.find(SECTION_MARKER, start + len(marker))
+  assert doc[nxt:].startswith(f'## {SECTION_FLAVORS["synthcs"][0]}')
