@@ -31,6 +31,14 @@ from rec_attend_tpu.engine.experiment import (TrainingExperiment,
 from rec_attend_tpu.utils import logger
 
 
+def _restore_folder(args, model_id):
+  """results/<id> when --resume was passed and a run exists there, else
+  None (fresh training)."""
+  folder = os.path.join(args.results, model_id)
+  return folder if getattr(args, 'resume', False) and os.path.isdir(
+      folder) else None
+
+
 def run_cvppp(args):
   """ref run_cvppp.sh: box pretrain (60k) -> full (30k) -> eval."""
   log = logger.get()
@@ -253,7 +261,8 @@ def run_synth3(args):
 
   train_cfg = C.TrainConfig(model_id=fg_id, num_steps=fg_steps,
                             batch_size=bs, save_ckpt=True,
-                            results=args.results, logs=args.logs, **cadence)
+                            results=args.results, logs=args.logs,
+                            restore=_restore_folder(args, fg_id), **cadence)
   if 'fg' in stages:
     TrainingExperiment('fg', fg_cfg, train_cfg, data_cfg).run()
   if 'pack' in stages:
@@ -261,13 +270,15 @@ def run_synth3(args):
                       '--dataset', 'synth', '--split', 'train,valid',
                       '--batch_size', str(bs)])
   if 'box' in stages:
-    train_cfg = train_cfg.replace(model_id=box_id, num_steps=box_steps)
+    train_cfg = train_cfg.replace(model_id=box_id, num_steps=box_steps,
+                                  restore=_restore_folder(args, box_id))
     TrainingExperiment('box', box_cfg, train_cfg, data_cfg).run()
   if 'full' in stages:
     weights = read_weights.box_main(
         ['--model_id', box_id, '--results', args.results])
     full_cfg = full_base.replace(pretrain_ctrl_net=weights)
-    train_cfg = train_cfg.replace(model_id=full_id, num_steps=full_steps)
+    train_cfg = train_cfg.replace(model_id=full_id, num_steps=full_steps,
+                                  restore=_restore_folder(args, full_id))
     TrainingExperiment('full', full_cfg, train_cfg, data_cfg).run()
   if 'eval' in stages:
     from pipelines import eval_fg_metrics
@@ -341,7 +352,8 @@ def run_synth_cs(args):
 
   train_cfg = C.TrainConfig(model_id=fg_id, num_steps=fg_steps,
                             batch_size=bs_fg, save_ckpt=True,
-                            results=args.results, logs=args.logs, **cadence)
+                            results=args.results, logs=args.logs,
+                            restore=_restore_folder(args, fg_id), **cadence)
   if 'fg' in stages:
     TrainingExperiment('fg', fg_cfg, train_cfg, data_cfg).run()
   if 'pack' in stages:
@@ -350,14 +362,16 @@ def run_synth_cs(args):
                       '--batch_size', str(bs_fg)])
   if 'box' in stages:
     train_cfg = train_cfg.replace(model_id=box_id, num_steps=box_steps,
-                                  batch_size=bs)
+                                  batch_size=bs,
+                                  restore=_restore_folder(args, box_id))
     TrainingExperiment('box', box_cfg, train_cfg, data_cfg).run()
   if 'full' in stages:
     weights = read_weights.box_main(
         ['--model_id', box_id, '--results', args.results])
     full_cfg = full_base.replace(pretrain_ctrl_net=weights)
     train_cfg = train_cfg.replace(model_id=full_id, num_steps=full_steps,
-                                  batch_size=bs)
+                                  batch_size=bs,
+                                  restore=_restore_folder(args, full_id))
     TrainingExperiment('full', full_cfg, train_cfg, data_cfg).run()
   if 'eval' in stages:
     from pipelines import eval_fg_metrics
@@ -392,6 +406,10 @@ def main():
   parser.add_argument('--full_steps', default=None, type=int)
   parser.add_argument('--data_examples', default=None, type=int,
                       help='override the train-split size (synth3 paper)')
+  parser.add_argument('--resume', action='store_true',
+                      help='restore each trained stage from its existing '
+                           'results/<id> checkpoint (extend a run to a '
+                           'higher step count)')
   args = parser.parse_args()
   if args.dataset == 'cvppp':
     run_cvppp(args)
