@@ -313,7 +313,8 @@ def run_synth_cs(args):
   if paper:
     data_cfg = C.DataConfig(dataset='synth', folder=args.dataset_folder,
                             height=256, width=512, timespan=20,
-                            num_examples=128, max_objects=10,
+                            num_examples=args.data_examples or 256,
+                            max_objects=10,
                             num_semantic_classes=nsc_data)
     fg_cfg = C.cityscapes_fg_config()
     fg_cfg = fg_cfg.replace(
