@@ -29,3 +29,9 @@ except Exception:
   pass
 
 jax.config.update('jax_enable_x64', False)
+
+
+def pytest_configure(config):
+  config.addinivalue_line(
+      'markers', 'slow: multi-minute end-to-end chains (deselect with '
+      "-m 'not slow')")

@@ -1,0 +1,86 @@
+"""End-to-end tiny pipeline chains (CPU-sized).
+
+These lock the reference's multi-stage workflows into CI: the
+``run_kitti.sh`` analogue (fg -> pack foreground/orientation predictions
+into the H5 -> box/full trained *through* the packed ``d_in``/``y_in``
+channels, ref box_model_train.py:81-86) and the ``run_cityscapes.sh``
+analogue with multiclass semantic heads.  Both drive
+``pipelines/run_pipeline.py`` exactly as a user would.
+"""
+
+import glob
+import os
+import sys
+
+import h5py
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))))
+
+from pipelines import run_pipeline  # noqa: E402
+
+
+def _run(argv):
+  old = sys.argv
+  sys.argv = ['run_pipeline'] + argv
+  try:
+    run_pipeline.main()
+  finally:
+    sys.argv = old
+
+
+def _ckpt_steps(folder):
+  return sorted(int(os.path.basename(f).split('-')[1].split('.')[0])
+                for f in glob.glob(os.path.join(folder, 'ckpt-*.npz')))
+
+
+@pytest.mark.slow
+def test_tiny_synth3_chain_and_resume(tmp_path):
+  res, logs, data = (str(tmp_path / d) for d in ('res', 'logs', 'data'))
+  base = ['--scale', 'tiny', '--num_steps', '4', '--results', res,
+          '--logs', logs, '--dataset_folder', data, '--model_id', 'ci']
+  _run(['--dataset', 'synth3'] + base)
+
+  # all three stages checkpointed
+  for mid in ('fg_model_synth3-ci', 'box_model_synth3-ci',
+              'full_model_synth3-ci'):
+    assert _ckpt_steps(os.path.join(res, mid)) == [4], mid
+
+  # fg pack wrote prediction channels back into the train H5
+  h5s = glob.glob(os.path.join(data, 'train_*.h5'))
+  assert h5s
+  with h5py.File(h5s[0], 'r') as f:
+    grp = f[[k for k in f if k != 'index_map'][0]]
+    assert 'foreground_pred' in grp
+    assert 'orientation_pred' in grp
+
+  # eval produced analyzer CSVs with Mean trailers
+  out = os.path.join(res, 'full_model_synth3-ci', 'output_valid')
+  csvs = glob.glob(os.path.join(out, 'sbd*.csv'))
+  assert csvs
+  assert any('Mean,' in open(c).read() for c in csvs)
+
+  # --resume extends the full model from its checkpoint (run_pipeline
+  # restore plumbing) instead of restarting
+  _run(['--dataset', 'synth3'] + base
+       + ['--stages', 'full,eval', '--resume', '--num_steps', '8'])
+  assert _ckpt_steps(os.path.join(res, 'full_model_synth3-ci')) == [4, 8]
+
+
+@pytest.mark.slow
+def test_tiny_synthcs_chain(tmp_path):
+  res, logs, data = (str(tmp_path / d) for d in ('res', 'logs', 'data'))
+  _run(['--dataset', 'synthcs', '--scale', 'tiny', '--num_steps', '4',
+        '--results', res, '--logs', logs, '--dataset_folder', data,
+        '--model_id', 'ci'])
+  for mid in ('fg_model_synthcs-ci', 'box_model_synthcs-ci',
+              'full_model_synthcs-ci'):
+    assert _ckpt_steps(os.path.join(res, mid)) == [4], mid
+  # multiclass data: semantic classes present in the H5
+  h5s = glob.glob(os.path.join(data, 'train_*.h5'))
+  with h5py.File(h5s[0], 'r') as f:
+    grp = f[[k for k in f if k != 'index_map'][0]]
+    assert 'instance_semantic_classes' in grp
+  out = os.path.join(res, 'full_model_synthcs-ci', 'output_valid')
+  assert glob.glob(os.path.join(out, 'sbd*.csv'))
