@@ -86,7 +86,7 @@ def main():
   eval_cli.full_main(['--model_id', full_id, '--results', args.results,
                       '--dataset', 'synth', '--split', 'valid',
                       '--batch_size', '8',
-                      '--threshold_list', '0.2,0.3,0.4,0.5,0.6,0.7',
+                      '--threshold_list', '0.2,0.3,0.35,0.4,0.45,0.5,0.6',
                       '--dataset_folder', args.dataset_folder])
   log.info(f'Pipeline done: {full_id}')
 
