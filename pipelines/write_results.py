@@ -274,6 +274,11 @@ def main():
   box_loss = (read_loss_curve(
       os.path.join(args.logs, args.box_id, 'loss.csv'))
       if args.box_id else [])
+  if box_step is None and box_loss:
+    # box ckpts may be gone (keep-2 rotation / fresh clone where only the
+    # committed weights.h5 survives) — the loss curve still records the
+    # trained step count.
+    box_step = box_loss[-1][0]
   iou_csv = os.path.join(args.logs, args.full_id, 'iou_hard.csv')
   train_iou = read_loss_curve(iou_csv, field=2)
   valid_iou = read_loss_curve(iou_csv, field=3)
