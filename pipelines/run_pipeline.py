@@ -31,12 +31,32 @@ from rec_attend_tpu.engine.experiment import (TrainingExperiment,
 from rec_attend_tpu.utils import logger
 
 
-def _restore_folder(args, model_id):
+def _restore_folder(args, model_id, data_cfg=None):
   """results/<id> when --resume was passed and a run exists there, else
-  None (fresh training)."""
+  None (fresh training).
+
+  When resuming, the current CLI-derived DataConfig must match the run's
+  data_opt.yaml snapshot — otherwise the resumed checkpoint would sit on a
+  silently regenerated train/valid split (e.g. a different
+  --data_examples), shifting the eval split under it.  Fail loudly.
+  """
   folder = os.path.join(args.results, model_id)
-  return folder if getattr(args, 'resume', False) and os.path.isdir(
-      folder) else None
+  if not (getattr(args, 'resume', False) and os.path.isdir(folder)):
+    return None
+  snap_path = os.path.join(folder, 'data_opt.yaml')
+  if data_cfg is not None and os.path.exists(snap_path):
+    import yaml
+    with open(snap_path) as f:
+      snap = yaml.safe_load(f)
+    for key in ('num_examples', 'height', 'width', 'timespan',
+                'max_objects', 'num_semantic_classes'):
+      cur = getattr(data_cfg, key, None)
+      if key in snap and snap[key] != cur:
+        raise ValueError(
+            f'--resume {model_id}: DataConfig.{key}={cur} does not match '
+            f'the run snapshot {snap_path} ({key}={snap[key]}); pass '
+            f'matching data flags to extend this run')
+  return folder
 
 
 def run_cvppp(args):
@@ -262,7 +282,7 @@ def run_synth3(args):
   train_cfg = C.TrainConfig(model_id=fg_id, num_steps=fg_steps,
                             batch_size=bs, save_ckpt=True,
                             results=args.results, logs=args.logs,
-                            restore=_restore_folder(args, fg_id), **cadence)
+                            restore=_restore_folder(args, fg_id, data_cfg), **cadence)
   if 'fg' in stages:
     TrainingExperiment('fg', fg_cfg, train_cfg, data_cfg).run()
   if 'pack' in stages:
@@ -271,19 +291,21 @@ def run_synth3(args):
                       '--batch_size', str(bs)])
   if 'box' in stages:
     train_cfg = train_cfg.replace(model_id=box_id, num_steps=box_steps,
-                                  restore=_restore_folder(args, box_id))
+                                  restore=_restore_folder(args, box_id, data_cfg))
     TrainingExperiment('box', box_cfg, train_cfg, data_cfg).run()
   if 'full' in stages:
     weights = read_weights.box_main(
         ['--model_id', box_id, '--results', args.results])
     full_cfg = full_base.replace(pretrain_ctrl_net=weights)
     train_cfg = train_cfg.replace(model_id=full_id, num_steps=full_steps,
-                                  restore=_restore_folder(args, full_id))
+                                  restore=_restore_folder(args, full_id, data_cfg))
     TrainingExperiment('full', full_cfg, train_cfg, data_cfg).run()
   if 'eval' in stages:
     from pipelines import eval_fg_metrics
     eval_fg_metrics.main(['--model_id', fg_id, '--results', args.results,
-                          '--batch_size', str(bs)])
+                          '--batch_size', str(bs)]
+                         + (['--dataset_folder', args.dataset_folder]
+                            if args.dataset_folder else []))
     eval_cli.full_main(['--model_id', full_id, '--results', args.results,
                         '--dataset', 'synth', '--split', 'valid',
                         '--batch_size', str(bs),
@@ -354,7 +376,7 @@ def run_synth_cs(args):
   train_cfg = C.TrainConfig(model_id=fg_id, num_steps=fg_steps,
                             batch_size=bs_fg, save_ckpt=True,
                             results=args.results, logs=args.logs,
-                            restore=_restore_folder(args, fg_id), **cadence)
+                            restore=_restore_folder(args, fg_id, data_cfg), **cadence)
   if 'fg' in stages:
     TrainingExperiment('fg', fg_cfg, train_cfg, data_cfg).run()
   if 'pack' in stages:
@@ -364,7 +386,7 @@ def run_synth_cs(args):
   if 'box' in stages:
     train_cfg = train_cfg.replace(model_id=box_id, num_steps=box_steps,
                                   batch_size=bs,
-                                  restore=_restore_folder(args, box_id))
+                                  restore=_restore_folder(args, box_id, data_cfg))
     TrainingExperiment('box', box_cfg, train_cfg, data_cfg).run()
   if 'full' in stages:
     weights = read_weights.box_main(
@@ -372,12 +394,14 @@ def run_synth_cs(args):
     full_cfg = full_base.replace(pretrain_ctrl_net=weights)
     train_cfg = train_cfg.replace(model_id=full_id, num_steps=full_steps,
                                   batch_size=bs,
-                                  restore=_restore_folder(args, full_id))
+                                  restore=_restore_folder(args, full_id, data_cfg))
     TrainingExperiment('full', full_cfg, train_cfg, data_cfg).run()
   if 'eval' in stages:
     from pipelines import eval_fg_metrics
     eval_fg_metrics.main(['--model_id', fg_id, '--results', args.results,
-                          '--batch_size', str(bs_fg)])
+                          '--batch_size', str(bs_fg)]
+                         + (['--dataset_folder', args.dataset_folder]
+                            if args.dataset_folder else []))
     eval_cli.full_main(['--model_id', full_id, '--results', args.results,
                         '--dataset', 'synth', '--split', 'valid',
                         '--batch_size', str(bs),

@@ -35,6 +35,16 @@ def eval_split(exp, split, output_folder, threshold_list, analyzer_names,
   log = logger.get()
   os.makedirs(output_folder, exist_ok=True)
 
+  # Clear stale per-threshold CSVs from previous sweeps: write_results
+  # consumes every {name}_NN.csv present, so a re-run with a different
+  # threshold list must not leave older thresholds' files behind.
+  import glob as _glob
+  for name in analyzer_names:
+    for stale in ([os.path.join(output_folder, f'{name}.csv')]
+                  + _glob.glob(os.path.join(output_folder, f'{name}_*.csv'))):
+      if os.path.exists(stale):
+        os.remove(stale)
+
   analyzer_sets = []
   for tt in threshold_list:
     _analyzers = []

@@ -33,8 +33,6 @@ non-TPU backends so the CPU test suite exercises the same code path.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

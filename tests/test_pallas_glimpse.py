@@ -112,6 +112,23 @@ def test_channel_blocked_grid(data, monkeypatch):
   np.testing.assert_allclose(got_p, want_p, rtol=1e-4, atol=1e-5)
 
 
+def test_channel_blocked_grid_nondivisor(data, monkeypatch):
+  """Non-divisor channel block (db=2 over d=3): the pl.cdiv remainder path
+  pads the last block; results must still match the einsum path (the real
+  Cityscapes case is d=21, db=8 -> a 5-channel partial last block)."""
+  x, f_y, f_x, p = data
+  h, w = x.shape[1], x.shape[2]
+  monkeypatch.setattr(gk, '_VMEM_BLOCK_BUDGET', 2 * h * w * 4)
+  assert gk._channel_block(x.shape[3], h, w) == 2
+  assert x.shape[3] % 2 == 1  # exercises the padded remainder block
+  got = np.asarray(gk.extract_patch(x, f_y, f_x))
+  want = np.asarray(attention.extract_patch(x, f_y, f_x))
+  np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+  got_p = np.asarray(gk.paste_patch(p, f_y, f_x))
+  want_p = np.asarray(attention.paste_patch(p, f_y, f_x))
+  np.testing.assert_allclose(got_p, want_p, rtol=1e-4, atol=1e-5)
+
+
 def test_channel_block_sizing():
   """Cityscapes-sized inputs must stay under the VMEM block budget."""
   db = gk._channel_block(21, 256, 512)
