@@ -408,7 +408,50 @@ def run_synth_cs(args):
                         '--threshold_list', '0.2,0.3,0.4,0.5,0.6,0.7']
                        + (['--dataset_folder', args.dataset_folder]
                           if args.dataset_folder else []))
+  if 'ap' in stages:
+    run_ap_stage(args, full_id, data_cfg, bs)
   log.info(f'Pipeline done: {fg_id} -> {box_id} -> {full_id}')
+
+
+def run_ap_stage(args, full_id, data_cfg, batch_size, split='valid'):
+  """Official Cityscapes instance-level AP, end-to-end on a trained full
+  model: pack instance/score predictions into the H5 -> model-free
+  full-resolution eval (postprocess + submission writer, the reference's
+  cityscapes_eval.py path) -> synthetic gtFine instanceIds -> AP
+  (ref run_cityscapes_eval.sh:27-55).  Writes
+  results/<full_id>/output_<split>/ap.json and returns the averages."""
+  import json
+  from rec_attend_tpu.cli import cityscapes_eval as cs_eval_cli
+  from rec_attend_tpu.data import provider
+  from rec_attend_tpu.data import synthetic
+  from rec_attend_tpu.eval_cityscapes import instance_eval
+  log = logger.get()
+
+  pack_cli.full_main(['--model_id', full_id, '--results', args.results,
+                      '--dataset', 'synth', '--split', split,
+                      '--batch_size', str(batch_size)]
+                     + (['--dataset_folder', args.dataset_folder]
+                        if args.dataset_folder else []))
+  out_folder = os.path.join(args.results, full_id, f'cs_output_{split}')
+  cs_eval_cli.main(['--model_id', full_id, '--results', args.results,
+                    '--dataset', 'synth', '--split', split,
+                    '--output', out_folder,
+                    '--remove_tiny', str(args.ap_remove_tiny),
+                    '--analyzers', 'sbd']
+                   + (['--dataset_folder', args.dataset_folder]
+                      if args.dataset_folder else []))
+
+  ds = provider.get('synth', data_cfg, split=split)
+  gt_folder = os.path.join(args.results, full_id, f'ap_gt_{split}')
+  gt_files = synthetic.write_instance_id_gt(ds, gt_folder)
+  sub_folder = os.path.join(out_folder, 'cityscapes')
+  pred_txts = [instance_eval.find_prediction_file(g, sub_folder)
+               for g in gt_files]
+  export = os.path.join(args.results, full_id, f'output_{split}', 'ap.json')
+  avg = instance_eval.evaluate_instance_predictions(
+      pred_txts, gt_files, export_file=export)
+  log.info(f'AP results exported to {export}')
+  return avg
 
 
 def main():
@@ -424,13 +467,18 @@ def main():
                       help='steps per stage when --scale tiny')
   parser.add_argument('--model_id', default=None,
                       help='reuse an id (resume a synth3 chain mid-way)')
-  parser.add_argument('--stages', default='fg,pack,box,full,eval',
-                      help='synth3 stages to run')
+  parser.add_argument('--stages', default='fg,pack,box,full,eval,ap',
+                      help='synth3/synthcs stages to run (ap = official '
+                           'Cityscapes instance-level AP, synthcs only)')
   parser.add_argument('--fg_steps', default=None, type=int)
   parser.add_argument('--box_steps', default=None, type=int)
   parser.add_argument('--full_steps', default=None, type=int)
   parser.add_argument('--data_examples', default=None, type=int,
                       help='override the train-split size (synth3 paper)')
+  parser.add_argument('--ap_remove_tiny', default=100, type=int,
+                      help='remove-tiny area for the ap stage (the official '
+                           'min region size; the reference uses 1200 at '
+                           'full 2048x1024 resolution)')
   parser.add_argument('--resume', action='store_true',
                       help='restore each trained stage from its existing '
                            'results/<id> checkpoint (extend a run to a '

@@ -117,7 +117,14 @@ def main(argv=None):
   log = logger.get()
   log.log_args()
 
-  data_cfg = A.make_data_config(args)
+  # The packed predictions live in the H5 the model was trained against, so
+  # reuse its data_opt.yaml snapshot when a model folder is given (same
+  # restore rule as eval/pack CLIs).
+  restore = (os.path.join(args.results, args.model_id)
+             if args.model_id else None)
+  if restore is not None and not os.path.isdir(restore):
+    restore = None
+  data_cfg = A.make_data_config(args, restore=restore)
   threshold_list = [float(t) for t in args.threshold_list.split(',')]
   analyzer_names = args.analyzers.split(',') if args.analyzers else []
 

@@ -98,11 +98,67 @@ class Synthetic(InsSegDataset):
   def get_name(self):
     return 'synth'
 
+  def get_fname(self, idx):
+    """Cityscapes-style ``{run}_{seq}_{frame}.png`` stem so the official
+    prediction/GT pairing machinery (instance_eval.find_prediction_file,
+    stem = first three underscore fields) works on synthetic output."""
+    num = str(idx).replace('synth', '') or '0'
+    return f'synth_{int(num):06d}_000000.png'
+
   def get_default_timespan(self):
     return 6
 
   def get_num_semantic_classes(self):
     return self._num_semantic_classes
+
+
+# Synthetic semantic class c -> Cityscapes labelID, matching the submission
+# writer's table (analysis.RenderCityScapesOutputAnalyzer.LABELS): class 0
+# renders as person(24), class 1 as rider(25), ...  GT written with the
+# same mapping makes the official AP evaluation well-defined on synth data.
+CS_INSTANCE_LABEL_IDS = (24, 25, 26, 27, 28, 31, 32, 33)
+# Background pixels get an in-eval, non-instance label (road) so that
+# false positives on background COUNT as FPs instead of being void-ignored
+# (unlabeled=0 is ignoreInEval, which would inflate AP).
+CS_BACKGROUND_LABEL_ID = 7
+
+
+def write_instance_id_gt(ds, out_folder, timespan=None):
+  """Render official-convention ``*_gtFine_instanceIds.png`` ground truth
+  for a synthetic split (full-size masks + per-instance semantic classes
+  from the H5), enabling the end-to-end Cityscapes AP evaluation
+  (ref run_cityscapes_eval.sh:27-55) without the real archives.
+
+  Instance k of semantic class c is encoded as
+  ``CS_INSTANCE_LABEL_IDS[c] * 1000 + k`` (id>=1000 convention,
+  ref cityscapes.py:88-119); background is CS_BACKGROUND_LABEL_ID.
+  Returns the list of written PNG paths, ordered like ds.img_ids."""
+  import os
+  import h5py
+  from rec_attend_tpu.data.assembler import png_decode
+
+  os.makedirs(out_folder, exist_ok=True)
+  out = []
+  with h5py.File(ds.h5_fname, 'r') as h5f:
+    for idx in ds.img_ids:
+      group = h5f[ds.get_str_id(idx)]
+      classes = (group['instance_semantic_classes'][:]
+                 if 'instance_semantic_classes' in group else None)
+      seg_group = group['label_segmentation_full_size']
+      num_obj = len(seg_group.keys())
+      gt_img = None
+      for jj in range(num_obj):
+        mask = png_decode(seg_group[f'{jj:02d}'][:], cv2.IMREAD_GRAYSCALE)
+        if gt_img is None:
+          gt_img = np.full(mask.shape, CS_BACKGROUND_LABEL_ID, np.uint16)
+        cls = int(classes[jj]) if classes is not None else 0
+        label_id = CS_INSTANCE_LABEL_IDS[cls % len(CS_INSTANCE_LABEL_IDS)]
+        gt_img[mask > 0] = label_id * 1000 + jj
+      stem = ds.get_fname(idx)[:-len('.png')]
+      fname = os.path.join(out_folder, f'{stem}_gtFine_instanceIds.png')
+      cv2.imwrite(fname, gt_img)
+      out.append(fname)
+  return out
 
 
 def make_synthetic_h5(path, height=64, width=64, num_examples=32, seed=3,

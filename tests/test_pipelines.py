@@ -84,3 +84,22 @@ def test_tiny_synthcs_chain(tmp_path):
     assert 'instance_semantic_classes' in grp
   out = os.path.join(res, 'full_model_synthcs-ci', 'output_valid')
   assert glob.glob(os.path.join(out, 'sbd*.csv'))
+
+  # ap stage: full pack -> model-free cityscapes eval -> submission txts ->
+  # synthetic gtFine instanceIds -> official AP (the pack->render->eval
+  # seam, ref run_cityscapes_eval.sh:27-55)
+  full_res = os.path.join(res, 'full_model_synthcs-ci')
+  with h5py.File(glob.glob(os.path.join(data, 'valid_*.h5'))[0], 'r') as f:
+    grp = f[[k for k in f if k != 'index_map'][0]]
+    assert 'instance_pred' in grp and 'score_pred' in grp
+  gt_pngs = glob.glob(os.path.join(full_res, 'ap_gt_valid',
+                                   '*_gtFine_instanceIds.png'))
+  assert gt_pngs
+  txts = glob.glob(os.path.join(full_res, 'cs_output_valid', 'cityscapes',
+                                '**', '*.txt'), recursive=True)
+  assert len(txts) == len(gt_pngs)
+  import json
+  with open(os.path.join(full_res, 'output_valid', 'ap.json')) as f:
+    ap = json.load(f)['averages']
+  assert 0.0 <= ap['allAp'] <= 1.0
+  assert 0.0 <= ap['allAp50%'] <= 1.0
