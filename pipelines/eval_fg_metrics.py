@@ -49,16 +49,26 @@ def main(argv=None):
     y_out = np.asarray(outputs['y_out'])              # [B, H, W, C]
     y_gt = raw['c_gt']                                # [B, H, W, C]
     n = y_out.shape[0]
-    inter = np.minimum(y_out, y_gt).sum()
-    union = np.maximum(y_out, y_gt).sum() + 1e-5
-    hard = (y_out > 0.5).astype('float32')
-    inter_h = np.minimum(hard, y_gt).sum()
-    union_h = np.maximum(hard, y_gt).sum() + 1e-5
+    # Multiclass c_gt carries a background channel 0 (1 wherever no
+    # foreground class is present) — exclude it from IoU and from the
+    # orientation mask, matching the model's own metrics
+    # (fg_model_loss: y_gt[..., 1:]).  Including it made the orientation
+    # accuracy an all-pixel average (round-3 synthcs "0.236" artefact; the
+    # true masked valid accuracy logged in training was 0.81).
+    if y_gt.shape[-1] > 1:
+      y_out_fg, y_gt_fg = y_out[..., 1:], y_gt[..., 1:]
+    else:
+      y_out_fg, y_gt_fg = y_out, y_gt
+    inter = np.minimum(y_out_fg, y_gt_fg).sum()
+    union = np.maximum(y_out_fg, y_gt_fg).sum() + 1e-5
+    hard = (y_out_fg > 0.5).astype('float32')
+    inter_h = np.minimum(hard, y_gt_fg).sum()
+    union_h = np.maximum(hard, y_gt_fg).sum() + 1e-5
     row = {'iou_soft': inter / union, 'iou_hard': inter_h / union_h}
     if 'd_out' in outputs:
       d_out = np.asarray(outputs['d_out'])
       d_gt = raw['d_gt']
-      mask = y_gt.max(axis=-1)
+      mask = y_gt_fg.max(axis=-1)
       correct = (d_out.argmax(-1) == d_gt.argmax(-1)).astype('float32')
       row['orientation_acc'] = ((correct * mask).sum() /
                                 max(mask.sum(), 1.0))
