@@ -143,6 +143,47 @@ def test_pipeline_parallel_fg_matches_reference():
   assert pp_out['y_out'].devices() == {jax.devices()[1]}
 
 
+def test_pipeline_parallel_full_matches_reference():
+  """Full-model 2-stage PP (controller on device 0, glimpse decoder on
+  device 1) over 2 microbatches equals the single-device forward in the
+  canvas-free (parallel-decode) eval configuration."""
+  from rec_attend_tpu.parallel import pp
+
+  cfg = config.tiny_full_config(
+      ctrl_add_inp=True, ctrl_add_canvas=False,
+      attn_add_inp=True, attn_add_canvas=False,
+      disable_overwrite=False, use_knob=False)
+  rng = np.random.RandomState(0)
+  T = cfg.timespan
+  batch = {
+      'x': jnp.asarray(rng.rand(4, 64, 64, 3).astype(np.float32)),
+      'y_gt': jnp.asarray((rng.rand(4, T, 64, 64) > 0.8).astype(np.float32)),
+      's_gt': jnp.ones((4, T), jnp.float32),
+  }
+  params = full_model.init_full_model(jax.random.PRNGKey(0), cfg)
+  ref_out, _ = full_model.full_model_forward(params, batch, cfg, False,
+                                             jax.random.PRNGKey(1))
+  pp_out = pp.full_pipeline_forward(params, {'x': batch['x']}, cfg,
+                                    num_microbatches=2)
+  np.testing.assert_allclose(np.asarray(pp_out['y_out']),
+                             np.asarray(ref_out['y_out']),
+                             rtol=1e-4, atol=1e-5)
+  np.testing.assert_allclose(np.asarray(pp_out['s_out']),
+                             np.asarray(ref_out['s_out']),
+                             rtol=1e-4, atol=1e-5)
+  np.testing.assert_allclose(np.asarray(pp_out['canvas']),
+                             np.asarray(ref_out['canvas']),
+                             rtol=1e-4, atol=1e-5)
+  assert pp_out['y_out'].devices() == {jax.devices()[1]}
+
+
+def test_full_pipeline_rejects_canvas_config():
+  from rec_attend_tpu.parallel import pp
+  cfg = config.tiny_full_config(use_knob=False)   # canvas feedback on
+  with pytest.raises(ValueError, match='canvas-free'):
+    pp.full_pipeline_stages(cfg)
+
+
 def test_pipeline_executor_rejects_bad_microbatching():
   from rec_attend_tpu.parallel import pp
   ex = pp.PipelineExecutor([lambda p, x: x], jax.devices()[:1])
