@@ -218,6 +218,31 @@ def three_stage_section(args):
       mark = ' ←' if t == bt else ''
       w(f'| {t:.2f}{mark} | ' + ' | '.join(cells) + ' |')
     w('')
+  ap_json = os.path.join(out_folder, 'ap.json')
+  if os.path.exists(ap_json):
+    with open(ap_json) as f:
+      ap = json.load(f)['averages']
+    w('### Official Cityscapes instance-level AP (end-to-end)')
+    w('')
+    w('Full pack → model-free full-resolution eval → submission writer '
+      '(mask')
+    w('PNGs + txt) → synthetic `gtFine` instanceIds → instance-level AP')
+    w('(`eval_cityscapes/instance_eval.py`, differentially tested against '
+      'the')
+    w("official script — ref run_cityscapes_eval.sh:27-55).  Paper context "
+      'on')
+    w('real Cityscapes test: AP 0.095 / AP_50% 0.189.')
+    w('')
+    w('| Metric | Value |')
+    w('|---|---|')
+    w(f"| AP | {ap['allAp']:.4f} |")
+    w(f"| AP_50% | {ap['allAp50%']:.4f} |")
+    for cname, d in ap.get('classes', {}).items():
+      if d['ap'] == d['ap']:   # skip NaN classes (no gt and no pred)
+        w(f"| {cname} ap / ap50% | {d['ap']:.4f} / {d['ap50%']:.4f} |")
+    w('')
+    w(f'Export: `{ap_json}`.  Regenerate: `{regen} --stages ap`.')
+    w('')
   w(f'Analyzer CSVs: `{out_folder}/`.  Regenerate: `{regen}`.')
   w('')
   return '\n'.join(lines)

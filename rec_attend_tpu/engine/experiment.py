@@ -424,12 +424,20 @@ class EvalExperiment(ExperimentBase):
         lambda p, b, cfg, train, key: self.spec.forward_fn(
             p, b, cfg, train, key), model_cfg, mesh=mesh)
 
+  # Only these model outputs are pulled to the host by default: eval/pack
+  # consumers use nothing else, and fetching the full outputs dict moves
+  # ~150 MB/batch of per-timestep diagnostics (attn_box, x_patch,
+  # y_gt_trans, ...) through the device tunnel at Cityscapes shapes.
+  DEFAULT_OUTPUT_KEYS = ('y_out', 's_out', 'd_out')
+
   def iterate_split(self, split, batch_size=None, variables=None,
-                    timespan=None, start_idx=-1, end_idx=-1):
+                    timespan=None, start_idx=-1, end_idx=-1,
+                    output_keys=DEFAULT_OUTPUT_KEYS):
     """Yields (raw_batch, outputs) over one split, unshuffled, no cycling.
 
     start_idx/end_idx restrict to a sub-range (ref evaluation.py:33-49's
-    OneTimeEvalBase partial-range pass)."""
+    OneTimeEvalBase partial-range pass).  output_keys: which model outputs
+    to fetch to the host (None = all — expensive on a remote device)."""
     ds = self.get_dataset(split)
     bs = batch_size or self.train_cfg.batch_size
     timespan = timespan or getattr(self.model_cfg, 'timespan', None)
@@ -448,4 +456,6 @@ class EvalExperiment(ExperimentBase):
       self.key, k = jax.random.split(self.key)
       jb = {k2: jnp.asarray(v) for k2, v in batch.items()}
       outputs = self.forward(self.params, jb, k)
+      if output_keys is not None:
+        outputs = {k2: v for k2, v in outputs.items() if k2 in output_keys}
       yield ds, raw, jax.tree_util.tree_map(np.asarray, outputs)
