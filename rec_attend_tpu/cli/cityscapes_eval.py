@@ -45,9 +45,12 @@ def read_foreground_lrr(lrr_folder, split, idx):
   return fg
 
 
-def eval_one(ds, pos, threshold_list, analyzer_sets, opt, gt_render=None):
-  """Process one image (batch_size=1 semantics)."""
-  batch = ds.get_batch([pos], variables={
+def eval_one(ds, pos, threshold_list, analyzer_sets, opt, gt_render=None,
+             timespan=None):
+  """Process one image (batch_size=1 semantics).  timespan must cover the
+  packed instance_pred slot count (the model's T, not the dataset default —
+  e.g. synth defaults to 6 but cityscapes-preset models pack T=20)."""
+  batch = ds.get_batch([pos], timespan=timespan, variables={
       'x_full', 'y_gt_full', 'y_out', 'd_out', 'y_out_ins', 's_out',
       's_gt', 'idx_map'})
   idx = batch['idx_map'][0]
@@ -164,7 +167,7 @@ def main(argv=None):
     end = min(start + per, n)
     for pos in range(start, end):
       eval_one(ds, pos, threshold_list, analyzer_sets, opt,
-               gt_render=gt_render)
+               gt_render=gt_render, timespan=data_cfg.timespan)
     for aset in analyzer_sets:
       for a in aset:
         a.finalize()

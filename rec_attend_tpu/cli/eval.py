@@ -29,7 +29,8 @@ DEFAULT_ANALYZERS = ['sbd', 'wt_cov', 'unwt_cov', 'avg_fp', 'avg_fn',
 
 def eval_split(exp, split, output_folder, threshold_list, analyzer_names,
                foreground_folder=None, no_morph=False, remove_tiny=0,
-               render_output=True, render_gt=False, batch_size=None):
+               render_output=True, render_gt=False, batch_size=None,
+               score_threshold=None):
   """Run the instance eval pipeline over one split; returns
   {threshold: {analyzer: (mean, std)}}."""
   log = logger.get()
@@ -79,7 +80,15 @@ def eval_split(exp, split, output_folder, threshold_list, analyzer_names,
     idx_map = raw['idx_map']
     y_gt_h = ds.get_full_size_labels(idx_map, timespan=y_out.shape[1])
 
-    y_out, s_out = pp.apply_confidence(y_out, s_out)
+    if score_threshold is not None:
+      # Explicit stop gate: zero slots below the calibrated score threshold
+      # so the count no longer depends on the mask threshold killing dim
+      # (score-weighted) masks.  Default path keeps the reference contract.
+      y_out, s_out = pp.apply_confidence(y_out, s_out,
+                                         threshold=score_threshold)
+      y_out = y_out * s_out[:, :, None, None]
+    else:
+      y_out, s_out = pp.apply_confidence(y_out, s_out)
     fg = _read_foreground(foreground_folder, ds, idx_map)
     y_out = pp.upsample(y_out, y_gt_h)
     if fg is not None and not no_morph:
@@ -137,6 +146,10 @@ def full_main(argv=None):
   parser.add_argument('--test', action='store_true')
   parser.add_argument('--no_morph', action='store_true')
   parser.add_argument('--remove_tiny', default=0, type=int)
+  parser.add_argument('--score_threshold', default=None, type=float,
+                      help='explicit stop-score gate (default: reference '
+                           'behaviour — score-weighted masks cut by the '
+                           'mask threshold)')
   args = parser.parse_args(argv)
   log = logger.get()
   log.log_args()
@@ -167,7 +180,8 @@ def full_main(argv=None):
                   os.path.join(restore, f'output_{split}'))
     eval_split(exp, split, out_folder, threshold_list, analyzer_names,
                foreground_folder=args.foreground_folder,
-               no_morph=args.no_morph, remove_tiny=args.remove_tiny)
+               no_morph=args.no_morph, remove_tiny=args.remove_tiny,
+               score_threshold=args.score_threshold)
   return exp
 
 

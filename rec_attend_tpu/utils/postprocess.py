@@ -24,12 +24,14 @@ TINY_REGION_PIXELS = 200
 BILATERAL_ARGS = (5, 10, 10)
 
 
-def apply_confidence(y_out, s_out):
-  """Scale each instance map by its confidence; harden scores at 0.5.
+def apply_confidence(y_out, s_out, threshold=0.5):
+  """Scale each instance map by its confidence; harden scores at
+  ``threshold`` (the reference fixes 0.5, postprocess.py:15-28; a
+  calibrated stop threshold is the counting knob).
 
   y_out [B, T, H, W], s_out [B, T] -> (weighted maps, 0/1 scores)."""
   return (y_out * s_out[:, :, None, None],
-          (s_out > 0.5).astype('float32'))
+          (s_out > threshold).astype('float32'))
 
 
 def apply_threshold(y_list, thresh):
