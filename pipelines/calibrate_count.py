@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Calibrated stop-score counting (VERDICT r3 next-step #4).
+
+Protocol (no valid-set peeking for the knob):
+  1. run ``count_diag`` on the TRAIN split -> the mask-free score-threshold
+     sweep; pick the threshold with the best train count accuracy;
+  2. evaluate the VALID split through the standard postprocess chain with
+     that calibrated ``--score_threshold`` (explicit stop gate) over the
+     usual mask-threshold sweep;
+  3. print/write a before/after table (reference behaviour vs calibrated).
+
+Usage: python pipelines/calibrate_count.py --model_id full_model_... \
+    [--results results] [--batch_size 8] [--dataset_folder ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))))
+
+from pipelines import count_diag
+
+
+def main(argv=None):
+  p = argparse.ArgumentParser()
+  p.add_argument('--model_id', required=True)
+  p.add_argument('--results', default='results')
+  p.add_argument('--batch_size', default=8, type=int)
+  p.add_argument('--dataset', default='synth')
+  p.add_argument('--dataset_folder', default=None)
+  p.add_argument('--threshold_list', default='0.2,0.3,0.4,0.5,0.6,0.7')
+  args = p.parse_args(argv)
+  restore = os.path.join(args.results, args.model_id)
+
+  common = ['--model_id', args.model_id, '--results', args.results,
+            '--batch_size', str(args.batch_size),
+            '--dataset', args.dataset]
+  if args.dataset_folder:
+    common += ['--dataset_folder', args.dataset_folder]
+
+  # 1. calibrate on train
+  train_summary = count_diag.main(common + ['--split', 'train'])
+  thr = train_summary['score_only_best']['thr']
+  print(f'calibrated stop-score threshold (train): {thr}')
+
+  # 2. valid eval with the calibrated gate; uses a separate output folder
+  #    so the standard output_valid artifacts are untouched
+  from rec_attend_tpu.cli import eval as eval_cli
+  out_folder = os.path.join(restore, 'output_valid_calibrated')
+  eval_cli.full_main(common + [
+      '--split', 'valid', '--output', out_folder,
+      '--threshold_list', args.threshold_list,
+      '--score_threshold', str(thr)])
+
+  # 3. before/after table
+  from pipelines.write_results import (read_analyzer_csvs, split_sweep,
+                                       best_threshold)
+  rows = {}
+  for label, folder in (('reference(0.5-weighted)',
+                         os.path.join(restore, 'output_valid')),
+                        (f'calibrated({thr})', out_folder)):
+    metrics, sweep = split_sweep(read_analyzer_csvs(folder))
+    if sweep:
+      bt = best_threshold(sweep)
+      metrics = dict(sweep[bt])
+      metrics['_best_mask_thr'] = (bt, 0)
+    rows[label] = {k: round(v[0], 4) for k, v in metrics.items()
+                   if k in ('sbd', 'count_acc', 'dic_abs', 'count_mse',
+                            '_best_mask_thr')}
+  summary = {'model_id': args.model_id, 'calibrated_threshold': thr,
+             'train_score_only': train_summary['score_only_best'],
+             'valid': rows}
+  out = os.path.join(restore, 'count_calibration.json')
+  with open(out, 'w') as f:
+    json.dump(summary, f, indent=2)
+  print(json.dumps(summary, indent=2))
+  return summary
+
+
+if __name__ == '__main__':
+  main()
