@@ -144,3 +144,16 @@ def test_results_section_markers():
   start = doc.index(marker)
   nxt = doc.find(SECTION_MARKER, start + len(marker))
   assert doc[nxt:].startswith(f'## {SECTION_FLAVORS["synthcs"][0]}')
+
+
+def test_apply_confidence_threshold():
+  """Calibrated stop-score gate: hardened scores follow the threshold
+  argument (reference default 0.5, postprocess.py:15-28)."""
+  from rec_attend_tpu.utils import postprocess as pp
+  y = np.ones((1, 3, 4, 4), 'float32')
+  s = np.array([[0.9, 0.45, 0.2]], 'float32')
+  yw, sh = pp.apply_confidence(y, s)
+  assert sh.tolist() == [[1.0, 0.0, 0.0]]
+  np.testing.assert_allclose(yw[0, 1], 0.45)
+  _, sh_lo = pp.apply_confidence(y, s, threshold=0.4)
+  assert sh_lo.tolist() == [[1.0, 1.0, 0.0]]
