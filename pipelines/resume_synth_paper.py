@@ -42,6 +42,14 @@ def main():
                       help='override the full-model id (default: derived '
                            'from --box_id); a fresh id trains from the box '
                            'weights.h5 instead of resuming')
+  parser.add_argument('--loss_mix_ratio', default=None, type=float,
+                      help='override the conf-loss weight (counting '
+                           'experiments; default: preset 1.0)')
+  parser.add_argument('--finetune_from', default=None,
+                      help='initialise the full model from this trained '
+                           'full-model id (read_weights full export) '
+                           'instead of the box weights — step resets to 0 '
+                           '(ref finetune mode, experiment.py:28-37)')
   args = parser.parse_args()
   log = logger.get()
 
@@ -72,6 +80,13 @@ def main():
         ['--model_id', args.box_id, '--results', args.results])
 
   full_cfg = C.cvppp_full_config().replace(pretrain_ctrl_net=weights)
+  if args.loss_mix_ratio is not None:
+    full_cfg = full_cfg.replace(loss_mix_ratio=args.loss_mix_ratio)
+  if args.finetune_from:
+    full_weights = read_weights.full_main(
+        ['--model_id', args.finetune_from, '--results', args.results])
+    full_cfg = full_cfg.replace(pretrain_ctrl_net=None,
+                                pretrain_net=full_weights, finetune=True)
   full_folder = os.path.join(args.results, full_id)
   full_restore = full_folder if os.path.isdir(full_folder) else None
   train_cfg = C.TrainConfig(
