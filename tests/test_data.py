@@ -188,3 +188,36 @@ def test_provider_synth(tmp_path):
   assert ds.get_dataset_size() > 0
   b = ds.get_batch([0], variables={'x'})
   assert b['x'].shape[1:] == (32, 32, 3)
+
+
+def test_write_instance_id_gt_mapping(tmp_path):
+  """Synthetic gtFine instanceIds export: class c -> Cityscapes labelID
+  from the submission writer's table, encoded labelID*1000+k; background
+  is an in-eval non-instance label so FPs on it count."""
+  import cv2
+  from rec_attend_tpu.data import synthetic
+  from rec_attend_tpu.data.cityscapes_labels import id2label
+
+  h5 = str(tmp_path / 'v.h5')
+  ds = synthetic.make_synthetic_h5(h5, height=48, width=48, num_examples=3,
+                                   num_semantic_classes=2, max_objects=3)
+  out = synthetic.write_instance_id_gt(ds, str(tmp_path / 'gt'))
+  assert len(out) == 3
+  assert all(f.endswith('_gtFine_instanceIds.png') for f in out)
+  import h5py
+  with h5py.File(h5, 'r') as f:
+    for fname, idx in zip(out, ds.img_ids):
+      img = cv2.imread(fname, -1)
+      assert img is not None
+      ids = set(np.unique(img).tolist())
+      classes = f[ds.get_str_id(idx)]['instance_semantic_classes'][:]
+      n_obj = len(f[ds.get_str_id(idx)]['label_segmentation'])
+      # background + one id per instance
+      assert synthetic.CS_BACKGROUND_LABEL_ID in ids
+      inst_ids = sorted(i for i in ids if i >= 1000)
+      assert len(inst_ids) == n_obj
+      for k, iid in enumerate(inst_ids):
+        label_id = iid // 1000
+        assert label_id == synthetic.CS_INSTANCE_LABEL_IDS[
+            classes[iid % 1000]]
+        assert id2label[label_id].hasInstances
