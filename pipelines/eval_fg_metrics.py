@@ -28,6 +28,7 @@ def main(argv=None):
   p.add_argument('--batch_size', default=8, type=int)
   p.add_argument('--dataset', default='synth')
   p.add_argument('--dataset_folder', default=None)
+  p.add_argument('--data_examples', default=None, type=int)
   args = p.parse_args(argv)
 
   import yaml

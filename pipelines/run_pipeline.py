@@ -242,8 +242,8 @@ def run_synth3(args):
   """
   log = logger.get()
   model_id = args.model_id or assign_model_id()
-  fg_id = f'fg_model_synth3-{model_id}'
-  box_id = f'box_model_synth3-{model_id}'
+  fg_id = args.fg_from or f'fg_model_synth3-{model_id}'
+  box_id = args.box_from or f'box_model_synth3-{model_id}'
   full_id = f'full_model_synth3-{model_id}'
   paper = args.scale == 'paper'
   stages = set(args.stages.split(','))
@@ -288,7 +288,11 @@ def run_synth3(args):
   if 'pack' in stages:
     pack_cli.fg_main(['--model_id', fg_id, '--results', args.results,
                       '--dataset', 'synth', '--split', 'train,valid',
-                      '--batch_size', str(bs)])
+                      '--batch_size', str(bs)]
+                     + (['--dataset_folder', args.dataset_folder]
+                        if args.dataset_folder else [])
+                     + (['--data_examples', str(args.data_examples)]
+                        if args.data_examples else []))
   if 'box' in stages:
     train_cfg = train_cfg.replace(model_id=box_id, num_steps=box_steps,
                                   restore=_restore_folder(args, box_id, data_cfg))
@@ -305,7 +309,9 @@ def run_synth3(args):
     eval_fg_metrics.main(['--model_id', fg_id, '--results', args.results,
                           '--batch_size', str(bs)]
                          + (['--dataset_folder', args.dataset_folder]
-                            if args.dataset_folder else []))
+                            if args.dataset_folder else [])
+                         + (['--data_examples', str(args.data_examples)]
+                            if args.data_examples else []))
     eval_cli.full_main(['--model_id', full_id, '--results', args.results,
                         '--dataset', 'synth', '--split', 'valid',
                         '--batch_size', str(bs),
@@ -324,8 +330,8 @@ def run_synth_cs(args):
   reference's run_cityscapes.sh stage wiring."""
   log = logger.get()
   model_id = args.model_id or assign_model_id()
-  fg_id = f'fg_model_synthcs-{model_id}'
-  box_id = f'box_model_synthcs-{model_id}'
+  fg_id = args.fg_from or f'fg_model_synthcs-{model_id}'
+  box_id = args.box_from or f'box_model_synthcs-{model_id}'
   full_id = f'full_model_synthcs-{model_id}'
   paper = args.scale == 'paper'
   stages = set(args.stages.split(','))
@@ -382,7 +388,11 @@ def run_synth_cs(args):
   if 'pack' in stages:
     pack_cli.fg_main(['--model_id', fg_id, '--results', args.results,
                       '--dataset', 'synth', '--split', 'train,valid',
-                      '--batch_size', str(bs_fg)])
+                      '--batch_size', str(bs_fg)]
+                     + (['--dataset_folder', args.dataset_folder]
+                        if args.dataset_folder else [])
+                     + (['--data_examples', str(args.data_examples)]
+                        if args.data_examples else []))
   if 'box' in stages:
     train_cfg = train_cfg.replace(model_id=box_id, num_steps=box_steps,
                                   batch_size=bs,
@@ -401,7 +411,9 @@ def run_synth_cs(args):
     eval_fg_metrics.main(['--model_id', fg_id, '--results', args.results,
                           '--batch_size', str(bs_fg)]
                          + (['--dataset_folder', args.dataset_folder]
-                            if args.dataset_folder else []))
+                            if args.dataset_folder else [])
+                         + (['--data_examples', str(args.data_examples)]
+                            if args.data_examples else []))
     eval_cli.full_main(['--model_id', full_id, '--results', args.results,
                         '--dataset', 'synth', '--split', 'valid',
                         '--batch_size', str(bs),
@@ -432,6 +444,7 @@ def run_ap_stage(args, full_id, data_cfg, batch_size, split='valid'):
                       '--batch_size', str(batch_size)]
                      + (['--dataset_folder', args.dataset_folder]
                         if args.dataset_folder else []))
+  # (the full model's own data_opt snapshot already carries the split size)
   out_folder = os.path.join(args.results, full_id, f'cs_output_{split}')
   cs_eval_cli.main(['--model_id', full_id, '--results', args.results,
                     '--dataset', 'synth', '--split', split,
@@ -474,7 +487,14 @@ def main():
   parser.add_argument('--box_steps', default=None, type=int)
   parser.add_argument('--full_steps', default=None, type=int)
   parser.add_argument('--data_examples', default=None, type=int,
-                      help='override the train-split size (synth3 paper)')
+                      help='override the train-split size (synth3/synthcs '
+                           'paper)')
+  parser.add_argument('--fg_from', default=None,
+                      help='reuse this trained fg model id instead of '
+                           'training a new one (data-scaling runs)')
+  parser.add_argument('--box_from', default=None,
+                      help='reuse this trained box model id (its weights.h5 '
+                           'initialises the full model)')
   parser.add_argument('--ap_remove_tiny', default=100, type=int,
                       help='remove-tiny area for the ap stage (the official '
                            'min region size; the reference uses 1200 at '

@@ -78,6 +78,11 @@ def add_eval_args(parser):
 def add_data_args(parser):
   parser.add_argument('--dataset', default='cvppp')
   parser.add_argument('--dataset_folder', default=None)
+  parser.add_argument('--data_examples', default=None, type=int,
+                      help='synth train-split size override (wins over a '
+                           'restored data_opt.yaml snapshot — e.g. packing '
+                           'a 256-example-trained fg model onto a larger '
+                           'generated split)')
 
 
 def make_data_config(args, restore=None) -> C.DataConfig:
@@ -98,8 +103,13 @@ def make_data_config(args, restore=None) -> C.DataConfig:
         cfg = C.DataConfig.from_dict(yaml.safe_load(f))
       if getattr(args, 'dataset_folder', None):
         cfg = cfg.replace(folder=args.dataset_folder)
+      if getattr(args, 'data_examples', None):
+        cfg = cfg.replace(num_examples=args.data_examples)
       return cfg
-  return C.data_config_for(args.dataset, args.dataset_folder)
+  cfg = C.data_config_for(args.dataset, args.dataset_folder)
+  if getattr(args, 'data_examples', None):
+    cfg = cfg.replace(num_examples=args.data_examples)
+  return cfg
 
 
 def dataset_geometry(dataset):

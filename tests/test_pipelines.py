@@ -103,3 +103,19 @@ def test_tiny_synthcs_chain(tmp_path):
     ap = json.load(f)['averages']
   assert 0.0 <= ap['allAp'] <= 1.0
   assert 0.0 <= ap['allAp50%'] <= 1.0
+
+  # Data-scaling reuse: train ONLY the full stage on a larger fresh split,
+  # packing with the existing fg model and initialising from the existing
+  # box weights (--fg_from/--box_from + --data_examples override).
+  data2 = str(tmp_path / 'data2')
+  _run(['--dataset', 'synthcs', '--scale', 'tiny', '--num_steps', '4',
+        '--results', res, '--logs', logs, '--dataset_folder', data2,
+        '--model_id', 'ci2', '--stages', 'pack,full,eval',
+        '--fg_from', 'fg_model_synthcs-ci',
+        '--box_from', 'box_model_synthcs-ci'])
+  assert _ckpt_steps(os.path.join(res, 'full_model_synthcs-ci2')) == [4]
+  # the foreign fg model packed predictions into the NEW folder's H5s
+  with h5py.File(glob.glob(os.path.join(data2, 'train_*.h5'))[0],
+                 'r') as f:
+    grp = f[[k for k in f if k != 'index_map'][0]]
+    assert 'foreground_pred' in grp
