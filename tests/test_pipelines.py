@@ -67,6 +67,15 @@ def test_tiny_synth3_chain_and_resume(tmp_path):
        + ['--stages', 'full,eval', '--resume', '--num_steps', '8'])
   assert _ckpt_steps(os.path.join(res, 'full_model_synth3-ci')) == [4, 8]
 
+  # counting diagnostics run against the trained checkpoint
+  from pipelines import count_diag
+  summary = count_diag.main(['--model_id', 'full_model_synth3-ci',
+                             '--results', res, '--batch_size', '4',
+                             '--dataset_folder', data])
+  assert 0.0 <= summary['score_only_best']['count_acc'] <= 1.0
+  assert os.path.exists(os.path.join(res, 'full_model_synth3-ci',
+                                     'count_diag_valid.csv'))
+
 
 @pytest.mark.slow
 def test_tiny_synthcs_chain(tmp_path):
