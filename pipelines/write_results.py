@@ -243,6 +243,27 @@ def three_stage_section(args):
     w('')
     w(f'Export: `{ap_json}`.  Regenerate: `{regen} --stages ap`.')
     w('')
+  ablate_id = args.box_id.replace('box_model_', 'box_model_nofg_')
+  ablate_json = os.path.join(args.results, ablate_id, 'ablation.json')
+  if os.path.exists(ablate_json):
+    with open(ablate_json) as f:
+      abl = json.load(f)
+    w('### Packed-channel ablation (box stage, with vs without fg inputs)')
+    w('')
+    w('A twin of the box model trained with `add_d_out`/`add_y_out` OFF')
+    w('(same data, steps, batch size) — does the packed fg/orientation')
+    w('channel actually help?  (ref run_cityscapes.sh box stage flags;')
+    w('`pipelines/ablate_packed.py`.)  Tail-5 means of the logged curves:')
+    w('')
+    w('| Variant | final loss | train iou_soft_box | valid iou_soft_box '
+      '| steps |')
+    w('|---|---|---|---|---|')
+    for label in ('with_packed', 'no_packed'):
+      d = abl.get(label, {})
+      w(f"| {label} | {d.get('final_loss_tail5')} "
+        f"| {d.get('train_iou_soft_box_tail5')} "
+        f"| {d.get('valid_iou_soft_box_tail5')} | {d.get('steps')} |")
+    w('')
   w(f'Analyzer CSVs: `{out_folder}/`.  Regenerate: `{regen}`.')
   w('')
   return '\n'.join(lines)
