@@ -266,6 +266,12 @@ def three_stage_section(args):
     w('')
   w(f'Analyzer CSVs: `{out_folder}/`.  Regenerate: `{regen}`.')
   w('')
+  # Persistent per-run commentary that survives section regeneration.
+  notes_md = os.path.join(full_folder, 'notes.md')
+  if os.path.exists(notes_md):
+    with open(notes_md) as f:
+      w(f.read().rstrip())
+    w('')
   return '\n'.join(lines)
 
 
