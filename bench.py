@@ -114,7 +114,7 @@ def main():
   # Train-direction companion (VERDICT r3 weak #6/#8): regression-track the
   # training step too.  f32 (the parity/training default), batch 32 —
   # large enough to amortise dispatch latency without a long compile.
-  train_ips = None
+  train_ips, train_err = None, None
   try:
     from rec_attend_tpu.parallel import train_step as ts_lib
     tcfg = config.cvppp_full_config().replace(use_knob=True)
@@ -135,8 +135,8 @@ def main():
       out_t = step_fn(tparams, opt_state, tbatch, keys[i % len(keys)], st)
     _ = np.asarray(out_t[2]['loss'])
     train_ips = tb * 4 / (time.perf_counter() - t1)
-  except Exception:
-    pass
+  except Exception as e:   # record the cause — a silent null defeats the
+    train_err = repr(e)    # regression-tracking purpose of this metric
 
   print(json.dumps({
       'metric': 'full_model_eval_instances_per_sec',
@@ -152,6 +152,7 @@ def main():
           'dtype': cfg.dtype,
           'train_images_per_sec_b32_f32': (round(train_ips, 2)
                                            if train_ips else None),
+          'train_error': train_err,
       },
   }))
 

@@ -54,6 +54,10 @@ def main(argv=None):
   ablate_cfg = box_cfg.replace(add_d_out=False, add_y_out=False)
 
   ablate_id = args.baseline_id.replace('box_model_', 'box_model_nofg_')
+  assert ablate_id != args.baseline_id, (
+      f'--baseline_id {args.baseline_id!r} must start with "box_model_" — '
+      'otherwise the ablation twin would train INTO the baseline folder, '
+      'clobbering the checkpoint being compared against')
   train_cfg = C.TrainConfig(model_id=ablate_id, num_steps=args.steps,
                             batch_size=args.batch_size, save_ckpt=True,
                             results=args.results, logs=args.logs,

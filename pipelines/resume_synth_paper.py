@@ -88,7 +88,17 @@ def main():
     full_cfg = full_cfg.replace(pretrain_ctrl_net=None,
                                 pretrain_net=full_weights, finetune=True)
   full_folder = os.path.join(args.results, full_id)
-  full_restore = full_folder if os.path.isdir(full_folder) else None
+  import glob as _glob
+  has_ckpt = bool(_glob.glob(os.path.join(full_folder, 'ckpt-*.npz')))
+  full_restore = full_folder if has_ckpt else None
+  if full_restore and full_cfg.finetune:
+    # Relaunch of an interrupted finetune (e.g. watchdog restart after a
+    # tunnel stall): the run's own checkpoint already carries the
+    # finetuned weights and schedule position — applying the finetune
+    # reset again would zero the step/optimizer and retrain from scratch
+    # on every relaunch.  The reset only belongs to the initial
+    # pretrain-weights load.
+    full_cfg = full_cfg.replace(finetune=False, pretrain_net=None)
   train_cfg = C.TrainConfig(
       model_id=full_id, num_steps=args.full_steps, batch_size=8,
       save_ckpt=True, results=args.results, logs=args.logs,

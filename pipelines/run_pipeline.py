@@ -31,6 +31,28 @@ from rec_attend_tpu.engine.experiment import (TrainingExperiment,
 from rec_attend_tpu.utils import logger
 
 
+def _data_flags(args):
+  """Optional dataset-override argv forwarded to the sub-CLIs (they fall
+  back to the model's data_opt.yaml snapshot otherwise)."""
+  return ((['--dataset_folder', args.dataset_folder]
+           if args.dataset_folder else [])
+          + (['--data_examples', str(args.data_examples)]
+             if getattr(args, 'data_examples', None) else []))
+
+
+def _reuse_stages(args, stages, log):
+  """--fg_from/--box_from mean "reuse this trained stage": drop the
+  corresponding train stages so a default --stages list cannot train a
+  fresh model INTO the reused folder (clobbering the checkpoint the flag
+  points at)."""
+  for flag, stage in (('fg_from', 'fg'), ('box_from', 'box')):
+    if getattr(args, flag, None) and stage in stages:
+      log.warning(f'--{flag} given: skipping the {stage!r} train stage '
+                  f'(reusing {getattr(args, flag)})')
+      stages.discard(stage)
+  return stages
+
+
 def _restore_folder(args, model_id, data_cfg=None):
   """results/<id> when --resume was passed and a run exists there, else
   None (fresh training).
@@ -279,20 +301,22 @@ def run_synth3(args):
                    steps_per_trainval=max(fg_steps // 2, 1),
                    steps_per_plot=0)
 
+  stages = _reuse_stages(args, stages, log)
   train_cfg = C.TrainConfig(model_id=fg_id, num_steps=fg_steps,
                             batch_size=bs, save_ckpt=True,
                             results=args.results, logs=args.logs,
-                            restore=_restore_folder(args, fg_id, data_cfg), **cadence)
+                            **cadence)
   if 'fg' in stages:
+    # _restore_folder (and its data-snapshot guard) only for stages that
+    # actually train — a reused fg/box stage must not be validated
+    # against the current CLI data flags.
+    train_cfg = train_cfg.replace(
+        restore=_restore_folder(args, fg_id, data_cfg))
     TrainingExperiment('fg', fg_cfg, train_cfg, data_cfg).run()
   if 'pack' in stages:
     pack_cli.fg_main(['--model_id', fg_id, '--results', args.results,
                       '--dataset', 'synth', '--split', 'train,valid',
-                      '--batch_size', str(bs)]
-                     + (['--dataset_folder', args.dataset_folder]
-                        if args.dataset_folder else [])
-                     + (['--data_examples', str(args.data_examples)]
-                        if args.data_examples else []))
+                      '--batch_size', str(bs)] + _data_flags(args))
   if 'box' in stages:
     train_cfg = train_cfg.replace(model_id=box_id, num_steps=box_steps,
                                   restore=_restore_folder(args, box_id, data_cfg))
@@ -307,17 +331,12 @@ def run_synth3(args):
   if 'eval' in stages:
     from pipelines import eval_fg_metrics
     eval_fg_metrics.main(['--model_id', fg_id, '--results', args.results,
-                          '--batch_size', str(bs)]
-                         + (['--dataset_folder', args.dataset_folder]
-                            if args.dataset_folder else [])
-                         + (['--data_examples', str(args.data_examples)]
-                            if args.data_examples else []))
+                          '--batch_size', str(bs)] + _data_flags(args))
     eval_cli.full_main(['--model_id', full_id, '--results', args.results,
                         '--dataset', 'synth', '--split', 'valid',
                         '--batch_size', str(bs),
                         '--threshold_list', '0.2,0.3,0.4,0.5,0.6,0.7']
-                       + (['--dataset_folder', args.dataset_folder]
-                          if args.dataset_folder else []))
+                       + _data_flags(args))
   log.info(f'Pipeline done: {fg_id} -> {box_id} -> {full_id}')
 
 
@@ -382,17 +401,16 @@ def run_synth_cs(args):
   train_cfg = C.TrainConfig(model_id=fg_id, num_steps=fg_steps,
                             batch_size=bs_fg, save_ckpt=True,
                             results=args.results, logs=args.logs,
-                            restore=_restore_folder(args, fg_id, data_cfg), **cadence)
+                            **cadence)
+  stages = _reuse_stages(args, stages, log)
   if 'fg' in stages:
+    train_cfg = train_cfg.replace(
+        restore=_restore_folder(args, fg_id, data_cfg))
     TrainingExperiment('fg', fg_cfg, train_cfg, data_cfg).run()
   if 'pack' in stages:
     pack_cli.fg_main(['--model_id', fg_id, '--results', args.results,
                       '--dataset', 'synth', '--split', 'train,valid',
-                      '--batch_size', str(bs_fg)]
-                     + (['--dataset_folder', args.dataset_folder]
-                        if args.dataset_folder else [])
-                     + (['--data_examples', str(args.data_examples)]
-                        if args.data_examples else []))
+                      '--batch_size', str(bs_fg)] + _data_flags(args))
   if 'box' in stages:
     train_cfg = train_cfg.replace(model_id=box_id, num_steps=box_steps,
                                   batch_size=bs,
@@ -409,17 +427,12 @@ def run_synth_cs(args):
   if 'eval' in stages:
     from pipelines import eval_fg_metrics
     eval_fg_metrics.main(['--model_id', fg_id, '--results', args.results,
-                          '--batch_size', str(bs_fg)]
-                         + (['--dataset_folder', args.dataset_folder]
-                            if args.dataset_folder else [])
-                         + (['--data_examples', str(args.data_examples)]
-                            if args.data_examples else []))
+                          '--batch_size', str(bs_fg)] + _data_flags(args))
     eval_cli.full_main(['--model_id', full_id, '--results', args.results,
                         '--dataset', 'synth', '--split', 'valid',
                         '--batch_size', str(bs),
                         '--threshold_list', '0.2,0.3,0.4,0.5,0.6,0.7']
-                       + (['--dataset_folder', args.dataset_folder]
-                          if args.dataset_folder else []))
+                       + _data_flags(args))
   if 'ap' in stages:
     run_ap_stage(args, full_id, data_cfg, bs)
   log.info(f'Pipeline done: {fg_id} -> {box_id} -> {full_id}')
@@ -441,19 +454,29 @@ def run_ap_stage(args, full_id, data_cfg, batch_size, split='valid'):
 
   pack_cli.full_main(['--model_id', full_id, '--results', args.results,
                       '--dataset', 'synth', '--split', split,
-                      '--batch_size', str(batch_size)]
-                     + (['--dataset_folder', args.dataset_folder]
-                        if args.dataset_folder else []))
-  # (the full model's own data_opt snapshot already carries the split size)
+                      '--batch_size', str(batch_size)] + _data_flags(args))
   out_folder = os.path.join(args.results, full_id, f'cs_output_{split}')
   cs_eval_cli.main(['--model_id', full_id, '--results', args.results,
                     '--dataset', 'synth', '--split', split,
                     '--output', out_folder,
                     '--remove_tiny', str(args.ap_remove_tiny),
-                    '--analyzers', 'sbd']
-                   + (['--dataset_folder', args.dataset_folder]
-                      if args.dataset_folder else []))
+                    '--analyzers', 'sbd'] + _data_flags(args))
 
+  # GT must come from the SAME dataset the predictions were packed into:
+  # pack/cs_eval restore the model's data_opt.yaml snapshot, so a
+  # standalone `--stages ap` with non-matching CLI data flags would
+  # otherwise regenerate a different split here (provider deletes the H5
+  # on a meta mismatch — including the just-packed predictions) and
+  # evaluate against unrelated scenes.
+  import yaml
+  snap_path = os.path.join(args.results, full_id, 'data_opt.yaml')
+  if os.path.exists(snap_path):
+    with open(snap_path) as f:
+      data_cfg = C.DataConfig.from_dict(yaml.safe_load(f))
+    if args.dataset_folder:
+      data_cfg = data_cfg.replace(folder=args.dataset_folder)
+    if getattr(args, 'data_examples', None):
+      data_cfg = data_cfg.replace(num_examples=args.data_examples)
   ds = provider.get('synth', data_cfg, split=split)
   gt_folder = os.path.join(args.results, full_id, f'ap_gt_{split}')
   gt_files = synthetic.write_instance_id_gt(ds, gt_folder)

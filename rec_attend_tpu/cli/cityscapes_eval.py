@@ -83,11 +83,14 @@ def eval_one(ds, pos, threshold_list, analyzer_sets, opt, gt_render=None,
   for tt, thresh in enumerate(threshold_list):
     y_out_thresh = pp.apply_threshold(y_out, thresh)
     y_out_thresh = pp.mask_foreground(y_out_thresh, fg_mask)
-    y_out_thresh, conf = pp.remove_tiny(y_out_thresh, conf=conf,
-                                        threshold=opt['remove_tiny'])
+    # remove_tiny zeroes removed slots' conf in place — each threshold
+    # must start from the raw scores, not the previous threshold's
+    # removals (cli/eval.py does the same per-threshold copy).
+    y_out_thresh, conf_t = pp.remove_tiny(y_out_thresh, conf=conf.copy(),
+                                          threshold=opt['remove_tiny'])
     results_thresh = {
         'y_out': y_out_thresh, 'y_gt': y_gt_h, 's_out': conf_hard,
-        'conf': conf, 'y_in': fg_h, 's_gt': s_gt,
+        'conf': conf_t, 'y_in': fg_h, 's_gt': s_gt,
         'indices': [idx],
     }
     if not opt.get('no_iou'):
@@ -139,16 +142,25 @@ def main(argv=None):
     os.makedirs(output_folder, exist_ok=True)
 
     analyzer_sets = []
+    sweep = len(threshold_list) > 1
     for thresh in threshold_list:
       _a = []
       thresh_folder = f'{int(thresh * 100):02d}'
       for name in analyzer_names:
-        fname = os.path.join(output_folder, f'{name}.csv')
+        # Single threshold keeps the reference's plain {name}.csv; a sweep
+        # needs per-threshold files ({name}_NN.csv, cli/eval.py
+        # convention) — analyzers truncate their CSV at construction, so
+        # sharing one file across thresholds interleaves rows and stacks
+        # multiple Mean/Std trailers.
+        stem = f'{name}_{thresh_folder}' if sweep else name
+        fname = os.path.join(output_folder, f'{stem}.csv')
         _a.append(analysis.create_analyzer(
             name, display_name=f'{name} {thresh:.2f}', fname=fname))
       if args.render_cityscapes:
-        _a.append(analysis.RenderCityScapesOutputAnalyzer(
-            os.path.join(output_folder, 'cityscapes'), ds))
+        sub_folder = (os.path.join(output_folder, 'cityscapes',
+                                   thresh_folder) if sweep
+                      else os.path.join(output_folder, 'cityscapes'))
+        _a.append(analysis.RenderCityScapesOutputAnalyzer(sub_folder, ds))
       _a.append(analysis.RenderInstanceAnalyzer(
           os.path.join(output_folder, thresh_folder), ds))
       _a.append(analysis.CountAnalyzer(

@@ -123,7 +123,7 @@ CS_INSTANCE_LABEL_IDS = (24, 25, 26, 27, 28, 31, 32, 33)
 CS_BACKGROUND_LABEL_ID = 7
 
 
-def write_instance_id_gt(ds, out_folder, timespan=None):
+def write_instance_id_gt(ds, out_folder):
   """Render official-convention ``*_gtFine_instanceIds.png`` ground truth
   for a synthetic split (full-size masks + per-instance semantic classes
   from the H5), enabling the end-to-end Cityscapes AP evaluation
