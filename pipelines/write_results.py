@@ -416,6 +416,14 @@ def main():
     'already-covered object lower `count_acc`/`obj_pr` without registering '
     'as FPs.')
   w('')
+  # Persistent per-run commentary (counting analyses, data-scaling
+  # checks, ...) that must survive head regeneration — same notes.md
+  # mechanism as the three-stage sections.
+  notes_md = os.path.join(full_folder, 'notes.md')
+  if os.path.exists(notes_md):
+    with open(notes_md) as f:
+      w(f.read().rstrip())
+    w('')
   w('Analyzer CSVs (per-example scores + Mean/Std trailers): '
     f'`{out_folder}/`.')
   w('')
