@@ -113,6 +113,30 @@ def test_tiny_synthcs_chain(tmp_path):
   assert 0.0 <= ap['allAp'] <= 1.0
   assert 0.0 <= ap['allAp50%'] <= 1.0
 
+  # write_results renders the three-stage section from the run artifacts,
+  # and per-run notes.md commentary survives section regeneration
+  from pipelines import write_results
+  with open(os.path.join(full_res, 'notes.md'), 'w') as f:
+    f.write('NOTES-SENTINEL durable commentary\n')
+  out_md = str(tmp_path / 'RESULTS.md')
+  wr_argv = ['--section', 'synthcs', '--full_id', 'full_model_synthcs-ci',
+             '--box_id', 'box_model_synthcs-ci',
+             '--fg_id', 'fg_model_synthcs-ci',
+             '--results', res, '--logs', logs, '--out', out_md]
+  old_argv = sys.argv
+  try:
+    sys.argv = ['write_results'] + wr_argv
+    write_results.main()
+    doc = open(out_md).read()
+    assert 'NOTES-SENTINEL' in doc
+    assert 'instance-level AP' in doc or 'AP' in doc
+    # regeneration keeps the notes (the durability contract)
+    sys.argv = ['write_results'] + wr_argv
+    write_results.main()
+  finally:
+    sys.argv = old_argv
+  assert open(out_md).read().count('NOTES-SENTINEL') == 1
+
   # Data-scaling reuse: train ONLY the full stage on a larger fresh split,
   # packing with the existing fg model and initialising from the existing
   # box weights (--fg_from/--box_from + --data_examples override).
