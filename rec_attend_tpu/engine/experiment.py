@@ -401,6 +401,16 @@ class EvalExperiment(ExperimentBase):
     super().__init__(spec_name, model_cfg, train_cfg, data_cfg, mesh=mesh,
                      extra_variables=extra_variables)
     self.splits = splits
+    if train_cfg.restore and self.saver.get_latest_ckpt() is None:
+      # Evaluating/packing exists only for TRAINED models: silently falling
+      # back to the random init (as resume-style training restores do)
+      # poisons downstream artifacts — e.g. a pack stage would write
+      # random-model predictions into the dataset H5 with nothing failing.
+      # This bit us when a VM restore wiped gitignored ckpt-*.npz files.
+      raise FileNotFoundError(
+          f'No ckpt-*.npz under restore folder {train_cfg.restore!r}; '
+          'refusing to eval/pack with randomly initialised params. '
+          '(Re)train the model or restore its checkpoint first.')
     if self.saver.get_latest_ckpt() is not None:
       from rec_attend_tpu.parallel.train_step import make_optimizer
       # The opt_state template must match the optimizer the checkpoint was

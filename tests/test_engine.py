@@ -130,6 +130,25 @@ def test_eval_restore_tolerates_optimizer_mismatch(tmp_path):
       np.asarray(exp.params['cnn'][0]['w']))
 
 
+def test_eval_refuses_missing_checkpoint(tmp_path):
+  """Eval/pack on a restore folder with NO ckpt must fail loudly instead
+  of silently running the random init (a VM restore that wipes gitignored
+  ckpt-*.npz would otherwise let a pack stage write random-model
+  predictions into the dataset H5)."""
+  model_cfg, train_cfg, data_cfg = _tiny_setup(tmp_path, 'fg', num_steps=2)
+  exp = exp_lib.TrainingExperiment('fg', model_cfg, train_cfg, data_cfg)
+  exp.run()
+  folder = os.path.join(train_cfg.results, 'fg_test')
+  for f in os.listdir(folder):
+    if f.startswith('ckpt-'):
+      os.remove(os.path.join(folder, f))   # yaml snapshots survive
+
+  train_cfg2 = train_cfg.replace(restore=folder)
+  with pytest.raises(FileNotFoundError, match='refusing to eval'):
+    exp_lib.EvalExperiment('fg', model_cfg, train_cfg2, data_cfg,
+                           splits=('valid',))
+
+
 def test_eval_restore_params_only_checkpoint(tmp_path):
   """A params-only npz (no opt_state) must still restore for eval."""
   model_cfg, train_cfg, data_cfg = _tiny_setup(tmp_path, 'fg', num_steps=2)
