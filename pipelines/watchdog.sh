@@ -8,11 +8,17 @@
 # continues from the last checkpoint.
 #
 # usage: watchdog.sh LOG SILENT_SEC -- CMD ARGS...
+# WATCHDOG_POLL overrides the 60 s poll interval (tests use seconds).
 set -u
 LOG="$1"; SILENT="$2"; shift 2
 [ "${1:-}" = "--" ] && shift
 MAX_RETRIES=6
+POLL="${WATCHDOG_POLL:-60}"
 mkdir -p "$(dirname "$LOG")"
+child_state() {
+  # Process state letter, robust to spaces in comm: field after the ')'.
+  sed -e 's/^.*) //' "/proc/$1/stat" 2>/dev/null | cut -d' ' -f1
+}
 for attempt in $(seq 0 $MAX_RETRIES); do
   "$@" >> "$LOG" 2>&1 &
   PID=$!
@@ -20,7 +26,11 @@ for attempt in $(seq 0 $MAX_RETRIES); do
   echo "[watchdog] attempt $attempt pid $PID: $*" >> "${LOG}.wd"
   stalled=0
   while kill -0 "$PID" 2>/dev/null; do
-    sleep 60
+    # An exited child stays a zombie until we wait() on it, and kill -0
+    # succeeds on zombies — without this check a finished run would sit
+    # here until SILENT elapsed and then be "stall-retried".
+    [ "$(child_state "$PID")" = "Z" ] && break
+    sleep "$POLL"
     now=$(date +%s)
     mt=$(stat -c %Y "$LOG" 2>/dev/null || echo "$now")
     if [ $((now - mt)) -gt "$SILENT" ]; then
