@@ -33,6 +33,59 @@ import numpy as np
 REF_INSTANCES_PER_SEC = 42.0   # estimated reference throughput (see above)
 
 
+def _reap_inflight_runs(base_dir=None, grace_sec=20):
+  """Kill any long TPU training runs left behind by a dead session.
+
+  The TPU claim is single-tenant (CLAUDE.md): a watchdog-wrapped pipeline
+  that outlived its session would contend with this benchmark and corrupt
+  the round's recorded number.  Runs record their pids in
+  logs/runs/*.log.pid (the run), *.log.wdpid (its watchdog) and
+  logs/runs/queue.pid (the run queue) — kill queue first so nothing
+  relaunches, then watchdogs, then runs, strictly BY PID (never by
+  pattern).  Set BENCH_KEEP_RUNS=1 to skip (manual mid-round benching).
+  """
+  import glob
+  import os
+  import re
+  import signal
+  import sys
+  if os.environ.get('BENCH_KEEP_RUNS'):
+    return
+  here = base_dir or os.path.dirname(os.path.abspath(__file__))
+  pid_files = (glob.glob(os.path.join(here, 'logs/runs/queue.pid'))
+               + glob.glob(os.path.join(here, 'logs/runs/*.wdpid'))
+               + glob.glob(os.path.join(here, 'logs/runs/*.pid')))
+  victims = []
+  for pf in pid_files:
+    try:
+      m = re.search(r'\d+', open(pf).read())
+    except OSError:
+      continue
+    if not m:
+      continue
+    pid = int(m.group())
+    try:
+      os.kill(pid, 0)
+    except (ProcessLookupError, PermissionError):
+      continue
+    if pid == os.getpid():
+      continue
+    print(f'[bench] reaping leftover run pid {pid} ({pf})', file=sys.stderr)
+    try:
+      os.kill(pid, signal.SIGTERM)
+    except ProcessLookupError:
+      continue
+    victims.append(pid)
+  if victims:
+    time.sleep(grace_sec)   # graceful exit + TPU claim release
+    for pid in victims:
+      try:
+        os.kill(pid, signal.SIGKILL)
+      except (ProcessLookupError, PermissionError):
+        pass
+    time.sleep(max(1, grace_sec // 2))
+
+
 def _retry_backend_init(attempts=4, delay=20):
   """The tunnelled TPU backend registration is occasionally transient
   (claim contention); re-exec until a device is visible."""
@@ -52,6 +105,7 @@ def _retry_backend_init(attempts=4, delay=20):
 
 
 def main():
+  _reap_inflight_runs()
   _retry_backend_init()
   import jax
   import jax.numpy as jnp

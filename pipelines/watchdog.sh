@@ -15,6 +15,7 @@ LOG="$1"; SILENT="$2"; shift 2
 MAX_RETRIES=6
 POLL="${WATCHDOG_POLL:-60}"
 mkdir -p "$(dirname "$LOG")"
+echo "$$" > "${LOG}.wdpid"   # bench.py's leftover-run reaper kills by this
 child_state() {
   # Process state letter, robust to spaces in comm: field after the ')'.
   sed -e 's/^.*) //' "/proc/$1/stat" 2>/dev/null | cut -d' ' -f1
