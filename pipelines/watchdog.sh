@@ -20,12 +20,25 @@ child_state() {
   # Process state letter, robust to spaces in comm: field after the ')'.
   sed -e 's/^.*) //' "/proc/$1/stat" 2>/dev/null | cut -d' ' -f1
 }
+child_cpu() {
+  # Cumulative utime+stime jiffies of the child AND its descendants
+  # (the pipeline may fork pack/eval workers that do the actual work).
+  local total=0 pid
+  for pid in $1 $(pgrep -P "$1" 2>/dev/null); do
+    local t
+    t=$(sed -e 's/^.*) //' "/proc/$pid/stat" 2>/dev/null \
+        | awk '{print $12+$13}')
+    total=$((total + ${t:-0}))
+  done
+  echo "$total"
+}
 for attempt in $(seq 0 $MAX_RETRIES); do
   "$@" >> "$LOG" 2>&1 &
   PID=$!
   echo "$PID" > "${LOG}.pid"
   echo "[watchdog] attempt $attempt pid $PID: $*" >> "${LOG}.wd"
   stalled=0
+  cpu_prev=$(child_cpu "$PID")
   while kill -0 "$PID" 2>/dev/null; do
     # An exited child stays a zombie until we wait() on it, and kill -0
     # succeeds on zombies — without this check a finished run would sit
@@ -34,6 +47,20 @@ for attempt in $(seq 0 $MAX_RETRIES); do
     sleep "$POLL"
     now=$(date +%s)
     mt=$(stat -c %Y "$LOG" 2>/dev/null || echo "$now")
+    # A tunnel stall is silent in BOTH channels: no log lines AND no CPU
+    # (observed round 4: frozen dispatch burns zero cycles).  Long silent
+    #-but-busy phases (device-split decode/upload, 10-12 min big-shape
+    # compiles) must not be killed, so CPU progress resets the clock.
+    # Threshold: >0.5% of a core over the poll window.  A frozen tunnel
+    # leaves only idle heartbeat threads (<< this); a live decode/compile
+    # burns far more.  Jiffies are 100/s.
+    cpu_min=$((POLL / 2)); [ "$cpu_min" -lt 1 ] && cpu_min=1
+    cpu_now=$(child_cpu "$PID")
+    if [ "$cpu_now" -ge $((cpu_prev + cpu_min)) ]; then
+      cpu_prev="$cpu_now"
+      touch "$LOG"
+      mt=$now
+    fi
     if [ $((now - mt)) -gt "$SILENT" ]; then
       echo "[watchdog] $(date -Is) stall: silent $((now - mt))s, killing $PID" >> "${LOG}.wd"
       kill "$PID" 2>/dev/null

@@ -248,16 +248,31 @@ class TrainingExperiment(ExperimentBase):
       self._ptr = 0
 
   def _load_device_split(self, ds, timespan, chunk=32):
-    """Decode the whole split once and pin it to HBM (uint8-encoded)."""
+    """Decode the whole split once and pin it to HBM (uint8-encoded).
+
+    Decode and upload are chatty on purpose: at 1024 examples this phase
+    runs for many minutes with no step lines, and the tunnel-stall
+    watchdog (pipelines/watchdog.sh) keys on log mtime — a silent decode
+    would be indistinguishable from a stalled tunnel and get killed.
+    """
     n = ds.get_dataset_size()
     get = self.make_batch_fn(ds, timespan)
-    chunks = [ts_lib.encode_batch(get(np.arange(i, min(i + chunk, n))))
-              for i in range(0, n, chunk)]
+    chunks = []
+    for i in range(0, n, chunk):
+      chunks.append(ts_lib.encode_batch(get(np.arange(i, min(i + chunk, n)))))
+      if len(chunks) % 8 == 0:
+        self.log.info(f'Device split decode: {min(i + chunk, n)}/{n} examples')
     data = {k: np.concatenate([c[k] for c in chunks])
             for k in chunks[0]}
     mb = sum(v.nbytes for v in data.values()) / 1e6
     self.log.info(f'Device-resident train split: {n} examples, {mb:.0f} MB')
-    return {k: jnp.asarray(v) for k, v in data.items()}
+    out = {}
+    for k, v in data.items():
+      self.log.info(f'Device split upload: {k} ({v.nbytes / 1e6:.0f} MB)')
+      out[k] = jnp.asarray(v)
+    jax.block_until_ready(out)
+    self.log.info('Device split resident')
+    return out
 
   def _next_train_idx(self, bs):
     """Shuffled-epoch sampling over the device-resident split (matches

@@ -64,6 +64,26 @@ def test_watchdog_retries_failing_command(tmp_path):
 
 
 @pytest.mark.skipif(sys.platform != 'linux', reason='bash + procfs')
+def test_watchdog_spares_busy_but_silent_run(tmp_path):
+  """Log silence alone is not a stall: device-split decode/upload and
+  big-shape compiles run for many minutes without log lines while
+  burning CPU.  A child that is CPU-busy past the silence threshold
+  must be left alone (the stall signature is no-log AND no-CPU)."""
+  log = tmp_path / 'run.log'
+  # Busy-loop ~8x the silence threshold without writing to the log.
+  script = ('echo started; end=$((SECONDS + 8)); '
+            'while [ $SECONDS -lt $end ]; do :; done; echo finished')
+  t0 = time.time()
+  r = _run(log, 1, ['bash', '-c', script], timeout=120)
+  assert r.returncode == 0
+  body = log.read_text()
+  wd = (tmp_path / 'run.log.wd').read_text()
+  assert 'started' in body and 'finished' in body
+  assert 'stall' not in wd and _attempts(wd) == 1
+  assert time.time() - t0 < 60
+
+
+@pytest.mark.skipif(sys.platform != 'linux', reason='bash + procfs')
 def test_watchdog_kills_stalled_run_and_relaunches(tmp_path):
   """A run that goes silent past the threshold is killed by pid and
   relaunched; the relaunch (resume-style) completes the job."""
