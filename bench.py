@@ -52,9 +52,14 @@ def _reap_inflight_runs(base_dir=None, grace_sec=20):
   if os.environ.get('BENCH_KEEP_RUNS'):
     return
   here = base_dir or os.path.dirname(os.path.abspath(__file__))
+  # Watchdogs before runs, so nothing relaunches what we just killed.
+  # Long runs park their pid files either directly under logs/
+  # (watchdog.sh LOG=logs/wd_*.log) or under logs/runs/.
   pid_files = (glob.glob(os.path.join(here, 'logs/runs/queue.pid'))
                + glob.glob(os.path.join(here, 'logs/runs/*.wdpid'))
-               + glob.glob(os.path.join(here, 'logs/runs/*.pid')))
+               + glob.glob(os.path.join(here, 'logs/*.wdpid'))
+               + glob.glob(os.path.join(here, 'logs/runs/*.pid'))
+               + glob.glob(os.path.join(here, 'logs/*.pid')))
   victims = []
   for pf in pid_files:
     try:

@@ -53,6 +53,27 @@ def test_reaper_kills_recorded_pids(tmp_path):
 
 
 @pytest.mark.skipif(sys.platform != 'linux', reason='posix signals')
+def test_reaper_kills_pids_directly_under_logs(tmp_path):
+  """Live chains park pid files at logs/wd_*.log.{pid,wdpid} (not under
+  logs/runs/) — the reaper must cover that layout too."""
+  logs = tmp_path / 'logs'
+  logs.mkdir(parents=True)
+  run_p, wd_p = _spawn_sleeper(), _spawn_sleeper()
+  (logs / 'wd_synth3_1024.log.pid').write_text(f'{run_p.pid}\n')
+  (logs / 'wd_synth3_1024.log.wdpid').write_text(f'{wd_p.pid}\n')
+  try:
+    bench._reap_inflight_runs(base_dir=str(tmp_path), grace_sec=2)
+    for p in (run_p, wd_p):
+      p.wait(timeout=10)
+    assert not any(_alive(p.pid) for p in (run_p, wd_p))
+  finally:
+    for p in (run_p, wd_p):
+      if p.poll() is None:
+        p.kill()
+      p.wait()
+
+
+@pytest.mark.skipif(sys.platform != 'linux', reason='posix signals')
 def test_reaper_respects_keep_env(tmp_path, monkeypatch):
   runs = tmp_path / 'logs' / 'runs'
   runs.mkdir(parents=True)
