@@ -1,0 +1,36 @@
+#!/bin/bash
+# Round-4 queue tail #2: when the synthcs@1024 chain's watchdog exits,
+# render its metrics into RESULTS.md (write_results is CPU-only, safe to
+# run while the ablation queue claims the TPU) and commit the stage
+# checkpoints + results so a VM restore cannot wipe hours of training.
+# Publication is idempotent (section markers), so a partial chain (e.g.
+# round ends mid-full-stage) still commits whatever checkpoints exist.
+set -u
+WDPID_FILE="${1:-logs/synthcs-20260818a/chain.log.wdpid}"
+while [ ! -f "$WDPID_FILE" ]; do sleep 60; done
+PREV=$(cat "$WDPID_FILE")
+while kill -0 "$PREV" 2>/dev/null; do sleep 60; done
+
+cd "$(dirname "$0")/.."
+ID=20260818a
+# Commit the raw stage artifacts first (checkpoints are gitignored ->
+# force-add), then the rendered results if eval/ap CSVs exist.
+for stage in fg box full; do
+  d="results/${stage}_model_synthcs-${ID}"
+  [ -d "$d" ] && git add -f "$d"/ckpt-*.npz "$d"/*.yaml "$d"/weights.h5 2>/dev/null
+done
+git add -f logs/full_model_synthcs-${ID}/*.csv \
+          logs/box_model_synthcs-${ID}/*.csv \
+          logs/fg_model_synthcs-${ID}/*.csv 2>/dev/null
+if ls results/full_model_synthcs-${ID}/output_valid/*.csv >/dev/null 2>&1; then
+  PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
+    python pipelines/write_results.py \
+      --full_id full_model_synthcs-${ID} \
+      --box_id box_model_synthcs-${ID} \
+      --fg_id fg_model_synthcs-${ID} \
+      --section synthcs >> logs/synthcs-${ID}/publish.log 2>&1
+  git add RESULTS.md
+  git add -f results/full_model_synthcs-${ID}/output_valid 2>/dev/null
+fi
+git commit -m "synthcs@1024 chain artifacts (auto-published post-chain)" \
+  >> logs/synthcs-${ID}/publish.log 2>&1 || true

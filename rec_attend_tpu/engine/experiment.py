@@ -239,7 +239,10 @@ class TrainingExperiment(ExperimentBase):
                        if self.valid_ds is not None else None)
 
     self.device_train_data = None
-    if self.use_device_data:
+    # A stage that restored at (or past) its target step runs zero train
+    # steps — skip the minutes-long decode+upload of the whole split
+    # through the tunnel (hit on every --resume chain relaunch).
+    if self.use_device_data and self.step < train_cfg.num_steps:
       self.device_train_data = self._load_device_split(self.train_ds,
                                                        timespan)
       n = self.train_ds.get_dataset_size()
