@@ -56,10 +56,13 @@ def _reap_inflight_runs(base_dir=None, grace_sec=20):
   # Long runs park their pid files either directly under logs/
   # (watchdog.sh LOG=logs/wd_*.log) or under logs/runs/.
   pid_files = (glob.glob(os.path.join(here, 'logs/runs/queue.pid'))
+               + glob.glob(os.path.join(here, 'logs/queue_*.pid'))
                + glob.glob(os.path.join(here, 'logs/runs/*.wdpid'))
                + glob.glob(os.path.join(here, 'logs/*.wdpid'))
+               + glob.glob(os.path.join(here, 'logs/*/*.wdpid'))
                + glob.glob(os.path.join(here, 'logs/runs/*.pid'))
-               + glob.glob(os.path.join(here, 'logs/*.pid')))
+               + glob.glob(os.path.join(here, 'logs/*.pid'))
+               + glob.glob(os.path.join(here, 'logs/*/*.pid')))
   victims = []
   for pf in pid_files:
     try:

@@ -6,6 +6,7 @@
 # TPU is single-tenant, so this waits for the chain's wdpid like
 # queue_synthcs_1024.sh does.
 set -u
+mkdir -p logs && echo "$$" > logs/queue_ablate.pid  # bench.py reaps by this
 PREV_WDPID_FILE="${1:-logs/synthcs-20260818a/chain.log.wdpid}"
 # The synthcs watchdog may not have STARTED yet (its queue waits on the
 # synth3 chain) — wait for the wdpid file to appear first.

@@ -7,6 +7,7 @@
 # targets the >=0.80 bar with a reference-scale step budget
 # (full 30k @ bs4 = 120k examples vs ref run_cityscapes.sh 70k @ bs2).
 set -u
+mkdir -p logs && echo "$$" > logs/queue_synthcs.pid  # bench.py reaps by this
 PREV_WDPID_FILE="${1:-logs/synth3-20260818a/chain.log.wdpid}"
 if [ -f "$PREV_WDPID_FILE" ]; then
   PREV=$(cat "$PREV_WDPID_FILE")

@@ -74,6 +74,30 @@ def test_reaper_kills_pids_directly_under_logs(tmp_path):
 
 
 @pytest.mark.skipif(sys.platform != 'linux', reason='posix signals')
+def test_reaper_kills_chain_subdir_and_queue_pids(tmp_path):
+  """The pipeline chains park pid files one level down
+  (logs/<chain-id>/chain.log.{pid,wdpid}) and the job-queue scripts
+  record theirs at logs/queue_*.pid — the reaper must cover both, or a
+  queue outliving its session relaunches TPU work mid-benchmark."""
+  chain = tmp_path / 'logs' / 'synthcs-test'
+  chain.mkdir(parents=True)
+  run_p, wd_p, q_p = _spawn_sleeper(), _spawn_sleeper(), _spawn_sleeper()
+  (chain / 'chain.log.pid').write_text(f'{run_p.pid}\n')
+  (chain / 'chain.log.wdpid').write_text(f'{wd_p.pid}\n')
+  (tmp_path / 'logs' / 'queue_ablate.pid').write_text(f'{q_p.pid}\n')
+  try:
+    bench._reap_inflight_runs(base_dir=str(tmp_path), grace_sec=2)
+    for p in (run_p, wd_p, q_p):
+      p.wait(timeout=10)
+    assert not any(_alive(p.pid) for p in (run_p, wd_p, q_p))
+  finally:
+    for p in (run_p, wd_p, q_p):
+      if p.poll() is None:
+        p.kill()
+      p.wait()
+
+
+@pytest.mark.skipif(sys.platform != 'linux', reason='posix signals')
 def test_reaper_respects_keep_env(tmp_path, monkeypatch):
   runs = tmp_path / 'logs' / 'runs'
   runs.mkdir(parents=True)
