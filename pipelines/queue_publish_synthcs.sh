@@ -22,6 +22,23 @@ done
 git add -f logs/full_model_synthcs-${ID}/*.csv \
           logs/box_model_synthcs-${ID}/*.csv \
           logs/fg_model_synthcs-${ID}/*.csv 2>/dev/null
+# Durable per-run commentary rendered into RESULTS.md by write_results:
+# carry forward the 256-example history this section replaces.
+NOTES="results/full_model_synthcs-${ID}/notes.md"
+if [ -d "results/full_model_synthcs-${ID}" ] && [ ! -f "$NOTES" ]; then
+  cat > "$NOTES" <<'NOTESEOF'
+- **4× data rerun.**  This model retrains the synthcs chain on a
+  1024-example train split (256 before).  The 256-example run saturated
+  at SBD 0.761 (16k) → 0.770 (40k) with AP 0.352 / AP50 0.602
+  (`full_model_synthcs-20260816233144`); the same 4× data change broke
+  the equivalent saturation at CVPPP shape (0.77 → 0.85).
+- **Packed-channel ablation** (box stage, with vs without fg inputs) was
+  run on the 256-example data: no-fg twin matched the packed baseline
+  (negative result, `results/box_model_nofg_synthcs-20260816233144/
+  ablation.json`, table preserved in git history of RESULTS.md).
+NOTESEOF
+  git add -f "$NOTES" 2>/dev/null
+fi
 if ls results/full_model_synthcs-${ID}/output_valid/*.csv >/dev/null 2>&1; then
   PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \
     python pipelines/write_results.py \
