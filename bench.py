@@ -84,6 +84,20 @@ def _reap_inflight_runs(base_dir=None, grace_sec=20):
     except ProcessLookupError:
       continue
     victims.append(pid)
+    # Round-handoff contract: killing a live chain must leave an executable
+    # resume recipe.  watchdog.sh records its exact relaunch line in
+    # <LOG>.cmd next to the .wdpid / .pid we just matched.
+    cmd_file = re.sub(r'\.(wd)?pid$', '.cmd', pf)
+    if cmd_file != pf and os.path.exists(cmd_file):
+      try:
+        recipe = open(cmd_file).read().strip()
+        with open(os.path.join(here, 'RESUME.md'), 'a') as rf:
+          rf.write(f'\n## bench reaper kill ({time.strftime("%Y-%m-%dT%H:%M:%S")})\n'
+                   f'Killed pid {pid} ({os.path.relpath(pf, here)}) to free the '
+                   f'TPU for the round benchmark.  Resume:\n'
+                   f'```\n{recipe}\n```\n')
+      except OSError:
+        pass
   if victims:
     time.sleep(grace_sec)   # graceful exit + TPU claim release
     for pid in victims:

@@ -7,6 +7,7 @@
 # queue_synthcs_1024.sh does.
 set -u
 mkdir -p logs && echo "$$" > logs/queue_ablate.pid  # bench.py reaps by this
+trap 'rm -f logs/queue_ablate.pid' EXIT TERM INT    # no stale pid files
 PREV_WDPID_FILE="${1:-logs/synthcs-20260818a/chain.log.wdpid}"
 # The synthcs watchdog may not have STARTED yet (its queue waits on the
 # synth3 chain) — wait for the wdpid file to appear first.
@@ -14,6 +15,9 @@ while [ ! -f "$PREV_WDPID_FILE" ]; do sleep 60; done
 PREV=$(cat "$PREV_WDPID_FILE")
 while kill -0 "$PREV" 2>/dev/null; do sleep 60; done
 sleep 30   # let the TPU claim settle
+# exec replaces this shell without firing EXIT traps; the watchdog's own
+# wdpid file covers the pid from here on.
+rm -f logs/queue_ablate.pid
 exec bash "$(dirname "$0")/watchdog.sh" logs/ablate_synth3-20260818a/run.log 420 -- \
   python pipelines/ablate_packed.py --baseline_id box_model_synth3-20260818a \
   --steps 12000 --batch_size 8

@@ -8,12 +8,16 @@
 # (full 30k @ bs4 = 120k examples vs ref run_cityscapes.sh 70k @ bs2).
 set -u
 mkdir -p logs && echo "$$" > logs/queue_synthcs.pid  # bench.py reaps by this
+trap 'rm -f logs/queue_synthcs.pid' EXIT TERM INT    # no stale pid files
 PREV_WDPID_FILE="${1:-logs/synth3-20260818a/chain.log.wdpid}"
 if [ -f "$PREV_WDPID_FILE" ]; then
   PREV=$(cat "$PREV_WDPID_FILE")
   while kill -0 "$PREV" 2>/dev/null; do sleep 60; done
 fi
 sleep 30   # let the TPU claim settle
+# exec replaces this shell without firing EXIT traps; the watchdog's own
+# wdpid file covers the pid from here on.
+rm -f logs/queue_synthcs.pid
 exec bash "$(dirname "$0")/watchdog.sh" logs/synthcs-20260818a/chain.log 420 -- \
   python pipelines/run_pipeline.py --dataset synthcs --scale paper \
   --data_examples 1024 --model_id 20260818a \

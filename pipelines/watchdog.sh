@@ -16,6 +16,20 @@ MAX_RETRIES=6
 POLL="${WATCHDOG_POLL:-60}"
 mkdir -p "$(dirname "$LOG")"
 echo "$$" > "${LOG}.wdpid"   # bench.py's leftover-run reaper kills by this
+# Exact relaunch recipe: the reaper/publish tail quote this into RESUME.md
+# so an interrupted chain is always one copy-paste from resuming.
+printf 'bash %s %q %q -- ' "$(realpath "$0" 2>/dev/null || echo "$0")" \
+  "$LOG" "$SILENT" > "${LOG}.cmd"
+printf '%q ' "$@" >> "${LOG}.cmd"
+echo >> "${LOG}.cmd"
+# Never leave pid files behind: a reused PID would get an unrelated
+# process killed by a later bench reap.  On TERM/INT also stop the child
+# (the reaper SIGTERMs the watchdog first; without this the run would
+# linger until its own .pid entry is processed).
+PID=""
+cleanup() { rm -f "${LOG}.wdpid" "${LOG}.pid"; }
+trap 'cleanup' EXIT
+trap '[ -n "$PID" ] && kill "$PID" 2>/dev/null; cleanup; exit 143' TERM INT
 child_state() {
   # Process state letter, robust to spaces in comm: field after the ')'.
   sed -e 's/^.*) //' "/proc/$1/stat" 2>/dev/null | cut -d' ' -f1
