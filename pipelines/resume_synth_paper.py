@@ -45,6 +45,29 @@ def main():
   parser.add_argument('--loss_mix_ratio', default=None, type=float,
                       help='override the conf-loss weight (counting '
                            'experiments; default: preset 1.0)')
+  parser.add_argument('--dtype', default=None,
+                      choices=['float32', 'bfloat16'],
+                      help='compute dtype for the full model (bf16 is '
+                           '1.43x faster on v5e; accuracy validation '
+                           'VERDICT r4 #4)')
+  parser.add_argument('--segm_weight_alpha', default=None, type=float,
+                      help='small-instance segm-loss upweighting exponent '
+                           '(counting lever a)')
+  parser.add_argument('--dynamic_var', action='store_true',
+                      help='predict the attention variance from the ctrl '
+                           'net instead of deriving it from box size '
+                           '(counting lever c)')
+  parser.add_argument('--filter_size', default=None, type=int,
+                      help='glimpse filter size override, e.g. 64 '
+                           '(counting lever b; incompatible with '
+                           '--finetune_from: changes no param shapes but '
+                           'changes glimpse resolution)')
+  parser.add_argument('--steps_per_knob_decay', default=None, type=int,
+                      help='slow the scheduled-sampling knob decay '
+                           '(counting lever d)')
+  parser.add_argument('--knob_segm_offset', default=None, type=int,
+                      help='delay the segm knob decay onset '
+                           '(counting lever d)')
   parser.add_argument('--finetune_from', default=None,
                       help='initialise the full model from this trained '
                            'full-model id (read_weights full export) '
@@ -82,6 +105,20 @@ def main():
   full_cfg = C.cvppp_full_config().replace(pretrain_ctrl_net=weights)
   if args.loss_mix_ratio is not None:
     full_cfg = full_cfg.replace(loss_mix_ratio=args.loss_mix_ratio)
+  if args.dtype is not None:
+    full_cfg = full_cfg.replace(dtype=args.dtype)
+  if args.segm_weight_alpha is not None:
+    full_cfg = full_cfg.replace(segm_weight_alpha=args.segm_weight_alpha)
+  if args.dynamic_var:
+    full_cfg = full_cfg.replace(dynamic_var=True)
+  if args.filter_size is not None:
+    full_cfg = full_cfg.replace(filter_height=args.filter_size,
+                                filter_width=args.filter_size)
+  if args.steps_per_knob_decay is not None:
+    full_cfg = full_cfg.replace(
+        steps_per_knob_decay=args.steps_per_knob_decay)
+  if args.knob_segm_offset is not None:
+    full_cfg = full_cfg.replace(knob_segm_offset=args.knob_segm_offset)
   if args.finetune_from:
     full_weights = read_weights.full_main(
         ['--model_id', args.finetune_from, '--results', args.results])

@@ -130,6 +130,12 @@ class FullModelConfig(_ConfigBase):
   segm_loss_fn: str = 'iou'
   box_loss_fn: str = 'iou'
   loss_mix_ratio: float = 1.0
+  # Small-instance upweighting of the matched segm loss: each matched GT
+  # instance carries weight area^(-alpha), renormalised to mean 1 over the
+  # example's matched instances.  0.0 = reference behaviour (uniform).
+  # Counting lever (VERDICT r4 weak #2): the trailing instances the
+  # decoder drops are the smallest ones.
+  segm_weight_alpha: float = 0.0
   base_learn_rate: float = 0.001
   learn_rate_decay: float = 0.96
   steps_per_learn_rate_decay: int = 5000

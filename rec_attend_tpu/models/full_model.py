@@ -659,7 +659,20 @@ def full_model_loss(params, batch, cfg: FullModelConfig, train, key, step,
   iou_soft_scalar = jnp.sum(jnp.sum(iou_soft_mask, axis=1) / match_count) / B
 
   if cfg.segm_loss_fn == 'iou':
-    segm_loss = -iou_soft_scalar
+    if cfg.segm_weight_alpha > 0.0:
+      # Small-instance upweighting (counting lever): per matched GT
+      # instance weight area^(-alpha), renormalised to mean 1 over the
+      # example's matched instances so the segm/box/conf loss balance is
+      # unchanged.  alpha=0 reduces to the uniform reference loss.
+      area = jnp.sum(y_gt, axis=(2, 3))                         # [B, M]
+      matched = jnp.sum(match, axis=1)                          # [B, M]
+      w = matched * jnp.power(area + 1.0, -cfg.segm_weight_alpha)
+      w = w * match_count[:, None] / jnp.maximum(
+          jnp.sum(w, axis=1, keepdims=True), 1e-6)
+      segm_loss = -jnp.sum(
+          jnp.sum(w * iou_soft_mask, axis=1) / match_count) / B
+    else:
+      segm_loss = -iou_soft_scalar
   elif cfg.segm_loss_fn == 'wt_cov':
     segm_loss = -wt_cov_soft
   elif cfg.segm_loss_fn == 'bce':

@@ -95,6 +95,43 @@ class TestFullModel:
                   for g in jax.tree_util.tree_leaves(grads[net]))
       assert gnorm > 0, f'no gradient reached {net}'
 
+  def test_segm_weight_alpha(self, tiny_cfg):
+    """Small-instance segm upweighting (counting lever): alpha=0 is the
+    reference loss bit-for-bit; alpha>0 shifts the loss toward the small
+    instance's (worse) IoU, so with one well-covered big instance and one
+    missed small one the weighted loss must be strictly larger."""
+    cfg0 = tiny_cfg.replace(use_knob=False, segm_weight_alpha=0.0)
+    rng = np.random.RandomState(3)
+    B, T, H, W = 2, cfg0.timespan, 64, 64
+    batch = _synth_batch(rng, B, T, H, W, n_obj=1)
+    y = np.asarray(batch['y_gt']).copy()
+    s = np.asarray(batch['s_gt']).copy()
+    y[:, 1, 2:5, 2:5] = 1.0        # tiny 3x3 second instance in the corner
+    s[:, 1] = 1.0
+    batch = dict(batch, y_gt=jnp.array(y), s_gt=jnp.array(s))
+    params = full_model.init_full_model(KEY, cfg0)
+
+    def loss_at(alpha):
+      cfg = cfg0.replace(segm_weight_alpha=alpha)
+      loss, aux = full_model.full_model_loss(params, batch, cfg, True,
+                                             KEY, 0)
+      return float(loss), aux
+
+    base, aux0 = loss_at(0.0)
+    # Construction matches the default code path exactly.
+    again, _ = loss_at(0.0)
+    assert base == again
+    up, aux1 = loss_at(1.0)
+    assert np.isfinite(up)
+    # Metrics (reported iou_soft etc.) stay the unweighted definitions.
+    for k in ('iou_soft',):
+      if k in aux0:
+        np.testing.assert_allclose(float(aux0[k]), float(aux1[k]),
+                                   rtol=1e-6)
+    # A random-init model covers neither instance well, but the tiny one
+    # essentially not at all -> upweighting it must increase the loss.
+    assert up > base
+
   def test_knob_schedule(self, tiny_cfg):
     cfg = tiny_cfg.replace(knob_base=1.0, knob_decay=0.5,
                            steps_per_knob_decay=100, knob_box_offset=0,
