@@ -57,7 +57,21 @@ def main(argv=None):
       '--threshold_list', args.threshold_list,
       '--score_threshold', str(thr)])
 
-  # 3. before/after table
+  # 2b. TRAIN-split mask-threshold calibration (VERDICT r4 weak #7: the
+  #     published headline used best-of-sweep ON THE VALID SPLIT — mild
+  #     selection bias).  Sweep a capped train prefix through the same
+  #     postprocess chain with the calibrated gate and pick the mask
+  #     threshold by TRAIN SBD; the headline is then the valid row at
+  #     that train-chosen threshold — zero valid-set peeking for either
+  #     knob.
+  train_out = os.path.join(restore, 'output_train_calibrated')
+  eval_cli.full_main(common + [
+      '--split', 'train', '--output', train_out,
+      '--threshold_list', args.threshold_list,
+      '--score_threshold', str(thr),
+      '--max_batches', '32', '--no_render'])
+
+  # 3. before/after table + train-calibrated headline
   from pipelines.write_results import (read_analyzer_csvs, split_sweep,
                                        best_threshold)
   rows = {}
@@ -72,8 +86,22 @@ def main(argv=None):
     rows[label] = {k: round(v[0], 4) for k, v in metrics.items()
                    if k in ('sbd', 'count_acc', 'dic_abs', 'count_mse',
                             '_best_mask_thr')}
+
+  headline = None
+  _, train_sweep = split_sweep(read_analyzer_csvs(train_out))
+  _, valid_sweep = split_sweep(read_analyzer_csvs(out_folder))
+  if train_sweep and valid_sweep:
+    bt_train = best_threshold(train_sweep)
+    vt = min(valid_sweep, key=lambda t: abs(t - bt_train))
+    headline = {
+        'mask_threshold': bt_train, 'score_threshold': thr,
+        'metrics': {k: [round(valid_sweep[vt][k][0], 4),
+                        round(valid_sweep[vt][k][1], 4)]
+                    for k in sorted(valid_sweep[vt])},
+    }
   summary = {'model_id': args.model_id, 'calibrated_threshold': thr,
              'train_score_only': train_summary['score_only_best'],
+             'headline': headline,
              'valid': rows}
   out = os.path.join(restore, 'count_calibration.json')
   with open(out, 'w') as f:

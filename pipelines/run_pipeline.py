@@ -435,7 +435,93 @@ def run_synth_cs(args):
                        + _data_flags(args))
   if 'ap' in stages:
     run_ap_stage(args, full_id, data_cfg, bs)
+  if 'pixel' in stages:
+    run_pixel_stage(args, full_id, data_cfg)
   log.info(f'Pipeline done: {fg_id} -> {box_id} -> {full_id}')
+
+
+def run_pixel_stage(args, full_id, data_cfg, split='valid'):
+  """Official Cityscapes PIXEL-level semantic eval, end-to-end on the
+  packed fg semantic output (the one evaluator family whose numbers had
+  never flowed from a trained chain; differential test:
+  tests/test_pixel_differential.py).
+
+  Pred labelIds: argmax over the packed multiclass ``foreground_pred``
+  channels (softmax channel 0 = background -> CS_BACKGROUND_LABEL_ID,
+  instance class c -> CS_INSTANCE_LABEL_IDS[c-1]); single-channel fg
+  (nsc=1) thresholds at 0.5.  GT labelIds/instanceIds: rendered from the
+  H5 full-size masks + per-instance classes with the same encoding as
+  ``write_instance_id_gt``.  Pairing/metrics per the official
+  ``evalPixelLevelSemanticLabeling.py:638-658``."""
+  import json
+  import cv2
+  import h5py
+  import numpy as np
+  import yaml
+  from rec_attend_tpu.data import provider
+  from rec_attend_tpu.data.assembler import png_decode
+  from rec_attend_tpu.data.synthetic import (CS_BACKGROUND_LABEL_ID,
+                                             CS_INSTANCE_LABEL_IDS)
+  from rec_attend_tpu.eval_cityscapes.pixel_eval import PixelEvaluator
+  log = logger.get()
+
+  # Same snapshot guard as run_ap_stage: GT must come from the dataset
+  # the predictions were packed into.
+  snap_path = os.path.join(args.results, full_id, 'data_opt.yaml')
+  if os.path.exists(snap_path):
+    with open(snap_path) as f:
+      data_cfg = C.DataConfig.from_dict(yaml.safe_load(f))
+    if args.dataset_folder:
+      data_cfg = data_cfg.replace(folder=args.dataset_folder)
+    if getattr(args, 'data_examples', None):
+      data_cfg = data_cfg.replace(num_examples=args.data_examples)
+  ds = provider.get('synth', data_cfg, split=split)
+  ids_tbl = CS_INSTANCE_LABEL_IDS
+  ev = PixelEvaluator()
+  n = 0
+  with h5py.File(ds.h5_fname, 'r') as h5f:
+    for idx in ds.img_ids:
+      group = h5f[ds.get_str_id(idx)]
+      if 'foreground_pred' not in group:
+        raise FileNotFoundError(
+            f'{ds.h5_fname}:{ds.get_str_id(idx)} has no foreground_pred '
+            '— run the pack stage first')
+      chans = sorted(group['foreground_pred'].keys())
+      fg = np.stack([png_decode(group[f'foreground_pred/{c}'][:],
+                                cv2.IMREAD_GRAYSCALE)
+                     for c in chans], axis=-1)
+      if fg.shape[2] == 1:
+        pred = np.where(fg[:, :, 0] > 127, ids_tbl[0],
+                        CS_BACKGROUND_LABEL_ID)
+      else:
+        am = fg.argmax(axis=2)
+        inst_ids = np.asarray(ids_tbl)[(am - 1) % len(ids_tbl)]
+        pred = np.where(am == 0, CS_BACKGROUND_LABEL_ID, inst_ids)
+      pred = pred.astype(np.uint8)
+
+      classes = (group['instance_semantic_classes'][:]
+                 if 'instance_semantic_classes' in group else None)
+      seg = group['label_segmentation_full_size']
+      gt_label = np.full(pred.shape, CS_BACKGROUND_LABEL_ID, np.uint8)
+      gt_inst = np.full(pred.shape, CS_BACKGROUND_LABEL_ID, np.int64)
+      for jj in range(len(seg.keys())):
+        mask = png_decode(seg[f'{jj:02d}'][:], cv2.IMREAD_GRAYSCALE) > 0
+        cls = int(classes[jj]) if classes is not None else 0
+        lid = ids_tbl[cls % len(ids_tbl)]
+        gt_label[mask] = lid
+        gt_inst[mask] = lid * 1000 + jj
+      ev.add_pair(pred, gt_label, instance_img=gt_inst)
+      n += 1
+  result = ev.finalize()
+  export = os.path.join(args.results, full_id, f'output_{split}',
+                        'pixel_eval.json')
+  os.makedirs(os.path.dirname(export), exist_ok=True)
+  with open(export, 'w') as f:
+    json.dump(result, f, indent=2)
+  log.info(f'Pixel-level eval over {n} images: meanIoU '
+           f'{result["meanIoU"]:.4f} iIoU {result["meanInstIoU"]:.4f} '
+           f'-> {export}')
+  return result
 
 
 def run_ap_stage(args, full_id, data_cfg, batch_size, split='valid'):
@@ -503,9 +589,11 @@ def main():
                       help='steps per stage when --scale tiny')
   parser.add_argument('--model_id', default=None,
                       help='reuse an id (resume a synth3 chain mid-way)')
-  parser.add_argument('--stages', default='fg,pack,box,full,eval,ap',
+  parser.add_argument('--stages', default='fg,pack,box,full,eval,ap,pixel',
                       help='synth3/synthcs stages to run (ap = official '
-                           'Cityscapes instance-level AP, synthcs only)')
+                           'Cityscapes instance-level AP; pixel = official '
+                           'pixel-level semantic IoU/iIoU on the packed '
+                           'fg output; both synthcs only)')
   parser.add_argument('--fg_steps', default=None, type=int)
   parser.add_argument('--box_steps', default=None, type=int)
   parser.add_argument('--full_steps', default=None, type=int)

@@ -30,7 +30,7 @@ DEFAULT_ANALYZERS = ['sbd', 'wt_cov', 'unwt_cov', 'avg_fp', 'avg_fn',
 def eval_split(exp, split, output_folder, threshold_list, analyzer_names,
                foreground_folder=None, no_morph=False, remove_tiny=0,
                render_output=True, render_gt=False, batch_size=None,
-               score_threshold=None):
+               score_threshold=None, max_batches=None):
   """Run the instance eval pipeline over one split; returns
   {threshold: {analyzer: (mean, std)}}."""
   log = logger.get()
@@ -66,7 +66,13 @@ def eval_split(exp, split, output_folder, threshold_list, analyzer_names,
   gt_render = (analysis.RenderGroundtruthInstanceAnalyzer(
       os.path.join(output_folder, 'gt'), None) if render_gt else None)
 
-  for ds, raw, outputs in exp.iterate_split(split, batch_size=batch_size):
+  for n_batch, (ds, raw, outputs) in enumerate(
+      exp.iterate_split(split, batch_size=batch_size)):
+    if max_batches is not None and n_batch >= max_batches:
+      # Calibration passes (pipelines/calibrate_count.py) sweep the TRAIN
+      # split only to pick thresholds — a capped prefix is plenty and the
+      # full-split pass through postprocess is minutes of host work.
+      break
     for aset in analyzer_sets:
       for a in aset:
         if hasattr(a, 'dataset'):
@@ -150,6 +156,12 @@ def full_main(argv=None):
                       help='explicit stop-score gate (default: reference '
                            'behaviour — score-weighted masks cut by the '
                            'mask threshold)')
+  parser.add_argument('--max_batches', default=None, type=int,
+                      help='cap the number of eval batches (threshold '
+                           'calibration on the train split)')
+  parser.add_argument('--no_render', action='store_true',
+                      help='skip instance PNG rendering (calibration '
+                           'passes)')
   args = parser.parse_args(argv)
   log = logger.get()
   log.log_args()
@@ -181,7 +193,9 @@ def full_main(argv=None):
     eval_split(exp, split, out_folder, threshold_list, analyzer_names,
                foreground_folder=args.foreground_folder,
                no_morph=args.no_morph, remove_tiny=args.remove_tiny,
-               score_threshold=args.score_threshold)
+               score_threshold=args.score_threshold,
+               render_output=not args.no_render,
+               max_batches=args.max_batches)
   return exp
 
 
