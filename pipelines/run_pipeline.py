@@ -249,6 +249,37 @@ def run_synth(args):
   log.info(f'Pipeline done: {full_id}')
 
 
+def _skip_completed_prefix(args, stages, full_id, data_cfg, log):
+  """On --resume relaunches mid-full-stage (watchdog kill + restart after
+  a tunnel stall), skip the fg/pack/box prefix: a full-stage checkpoint
+  can only exist if they completed, and re-running the pack stage costs
+  ~20 min of big-shape compile per relaunch.  Only applies when the
+  packed channels are actually present in BOTH splits (an environment
+  restore can wipe the gitignored H5 while a committed checkpoint
+  survives — then the prefix must really re-run)."""
+  import glob as _glob
+  import h5py
+  if not getattr(args, 'resume', False):
+    return stages
+  if not _glob.glob(os.path.join(args.results, full_id, 'ckpt-*.npz')):
+    return stages
+  from rec_attend_tpu.data import provider
+  try:
+    packed = True
+    for split in ('train', 'valid'):
+      ds = provider.get('synth', data_cfg, split=split)
+      with h5py.File(ds.h5_fname, 'r') as f:
+        packed &= 'foreground_pred' in f[ds.get_str_id(ds.img_ids[0])]
+  except Exception:
+    packed = False
+  if packed:
+    for s in ('fg', 'pack', 'box'):
+      stages.discard(s)
+    log.info('--resume: full-stage ckpt + packed H5 present; '
+             'skipping fg/pack/box')
+  return stages
+
+
 def run_synth3(args):
   """THREE-stage pipeline on synthetic data at KITTI shape: fg (orientation
   on) -> pack foreground_pred/orientation_pred into the H5 -> box with
@@ -302,6 +333,7 @@ def run_synth3(args):
                    steps_per_plot=0)
 
   stages = _reuse_stages(args, stages, log)
+  stages = _skip_completed_prefix(args, stages, full_id, data_cfg, log)
   train_cfg = C.TrainConfig(model_id=fg_id, num_steps=fg_steps,
                             batch_size=bs, save_ckpt=True,
                             results=args.results, logs=args.logs,
@@ -403,6 +435,7 @@ def run_synth_cs(args):
                             results=args.results, logs=args.logs,
                             **cadence)
   stages = _reuse_stages(args, stages, log)
+  stages = _skip_completed_prefix(args, stages, full_id, data_cfg, log)
   if 'fg' in stages:
     train_cfg = train_cfg.replace(
         restore=_restore_folder(args, fg_id, data_cfg))
