@@ -65,10 +65,13 @@ for attempt in $(seq 0 $MAX_RETRIES); do
     # (observed round 4: frozen dispatch burns zero cycles).  Long silent
     #-but-busy phases (device-split decode/upload, 10-12 min big-shape
     # compiles) must not be killed, so CPU progress resets the clock.
-    # Threshold: >0.5% of a core over the poll window.  A frozen tunnel
-    # leaves only idle heartbeat threads (<< this); a live decode/compile
-    # burns far more.  Jiffies are 100/s.
-    cpu_min=$((POLL / 2)); [ "$cpu_min" -lt 1 ] && cpu_min=1
+    # Threshold: >2% of a core over the poll window (jiffies are 100/s).
+    # Round 5 observed a stalled run whose idle heartbeat threads still
+    # burned ~0.5-1% in some windows, fooling the original 0.5% bar and
+    # leaving the stall alive indefinitely; a live decode/compile burns
+    # 50-100%+, so 2% keeps a wide safety margin on both sides (upload
+    # phases additionally log per-tensor lines, resetting mtime anyway).
+    cpu_min=$((POLL * 2)); [ "$cpu_min" -lt 2 ] && cpu_min=2
     cpu_now=$(child_cpu "$PID")
     if [ "$cpu_now" -ge $((cpu_prev + cpu_min)) ]; then
       cpu_prev="$cpu_now"
