@@ -281,6 +281,30 @@ def three_stage_section(args):
     w('')
     w(f'Export: `{ap_json}`.  Regenerate: `{regen} --stages ap`.')
     w('')
+  px_json = os.path.join(out_folder, 'pixel_eval.json')
+  if os.path.exists(px_json):
+    with open(px_json) as f:
+      px = json.load(f)
+    w('### Official Cityscapes pixel-level semantic eval (end-to-end)')
+    w('')
+    w('Packed multiclass fg output → labelId argmax → confusion-matrix')
+    w('kernel → class/category IoU and instance-weighted iIoU')
+    w('(`eval_cityscapes/pixel_eval.py`, differentially tested to 1e-6')
+    w('against the official `evalPixelLevelSemanticLabeling.py`,')
+    w('`tests/test_pixel_differential.py`).')
+    w('')
+    w('| Metric | Value |')
+    w('|---|---|')
+    for k in ('meanIoU', 'meanInstIoU', 'meanCategoryIoU',
+              'meanCategoryInstIoU'):
+      if k in px:
+        w(f'| {k} | {px[k]:.4f} |')
+    for cname, v in sorted(px.get('classes', {}).items()):
+      if v == v and v is not None:
+        w(f'| {cname} IoU | {v:.4f} |')
+    w('')
+    w(f'Export: `{px_json}`.  Regenerate: `{regen} --stages pixel`.')
+    w('')
   ablate_id = args.box_id.replace('box_model_', 'box_model_nofg_')
   ablate_json = os.path.join(args.results, ablate_id, 'ablation.json')
   if os.path.exists(ablate_json):
