@@ -6,9 +6,9 @@
 #
 #   1. train-calibrated headlines for the three published sections
 #      (synthcs / cvppp / synth3) + RESULTS re-render + commit
-#   2. C   bf16 baseline (full 30k from the committed box weights) +
-#          bf16-vs-f32 comparison table
-#   3. L0/L1/L2 counting-lever finetunes + lever comparison table
+#   2. L0/L1/L2 counting-lever finetunes + lever comparison table
+#      (VERDICT priority #2 — ahead of bf16)
+#   3. C   bf16 baseline (full 30k) + bf16-vs-f32 comparison table
 #   4. L3  slow-knob lever (leftover time)
 #   5. synth3@4096 data-scaling point (leftover time)
 #
@@ -94,14 +94,6 @@ run_one() {  # run_one <full_id> <log_tag> <extra args...>
   publish_run "$id" "round 5 ${tag}: ${id} artifacts (queue autopublish)"
 }
 
-run_one full_model_synth1024bf16-r5 C_bf16 --full_steps 30000
-env $CPU python pipelines/compare_runs.py \
-  --ids ${BASE1024},full_model_synth1024bf16-r5 \
-  --labels "f32 (r4)","bf16 (r5)" \
-  --title "bf16 training accuracy validation (CVPPP shape, 1024 examples, full 30k from the same box weights)" \
-  --notes "$NOTES" >> logs/r5d.log 2>&1
-commit_files "round 5: bf16 accuracy-validation table" "$NOTES" logs/r5d.log
-
 run_one full_model_s1024_ft0-r5 L0_control \
   --finetune_from "$BASE1024" --full_steps 8000
 run_one full_model_s1024_ftA-r5 L1_alpha \
@@ -119,6 +111,14 @@ env $CPU python pipelines/write_results.py \
   >> logs/r5d.log 2>&1
 commit_files "round 5: counting-lever comparison table" "$NOTES" RESULTS.md \
   logs/r5d.log
+
+run_one full_model_synth1024bf16-r5 C_bf16 --full_steps 30000
+env $CPU python pipelines/compare_runs.py \
+  --ids ${BASE1024},full_model_synth1024bf16-r5 \
+  --labels "f32 (r4)","bf16 (r5)" \
+  --title "bf16 training accuracy validation (CVPPP shape, 1024 examples, full 30k from the same box weights)" \
+  --notes "$NOTES" >> logs/r5d.log 2>&1
+commit_files "round 5: bf16 accuracy-validation table" "$NOTES" logs/r5d.log
 
 # ---- 4/5. leftover-time items ------------------------------------------
 run_one full_model_s1024_ftK-r5 L3_knob \
