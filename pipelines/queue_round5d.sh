@@ -58,6 +58,12 @@ calibrate_and_render full_model_synthcs-20260818a \
   box_model_synthcs-20260818a fg_model_synthcs-20260818a synthcs 4
 calibrate_and_render full_model_synth-20260816104712 \
   box_model_synth-20260816104712 "" cvppp 8 --dataset_folder data/synth224
+# The synth3 ablation regenerated data/synth/train_128x448.h5 WITHOUT
+# the packed fg channels (environment restores wipe the gitignored H5);
+# the packed-channel full model cannot eval without them — repack first.
+bash pipelines/watchdog.sh logs/r5d_synth3/pack.log 420 -- \
+  python fg_model_pack.py --model_id fg_model_synth3-20260818a \
+    --dataset synth --split train,valid --batch_size 8
 calibrate_and_render full_model_synth3-20260818a \
   box_model_synth3-20260818a fg_model_synth3-20260818a synth3 8
 
