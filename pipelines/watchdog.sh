@@ -65,13 +65,15 @@ for attempt in $(seq 0 $MAX_RETRIES); do
     # (observed round 4: frozen dispatch burns zero cycles).  Long silent
     #-but-busy phases (device-split decode/upload, 10-12 min big-shape
     # compiles) must not be killed, so CPU progress resets the clock.
-    # Threshold: >2% of a core over the poll window (jiffies are 100/s).
-    # Round 5 observed a stalled run whose idle heartbeat threads still
-    # burned ~0.5-1% in some windows, fooling the original 0.5% bar and
-    # leaving the stall alive indefinitely; a live decode/compile burns
-    # 50-100%+, so 2% keeps a wide safety margin on both sides (upload
-    # phases additionally log per-tensor lines, resetting mtime anyway).
-    cpu_min=$((POLL * 2)); [ "$cpu_min" -lt 2 ] && cpu_min=2
+    # Threshold: >1% of a core over the poll window (jiffies are 100/s).
+    # Calibrated on round-5 observations: a stalled tunnel run's idle
+    # heartbeat threads burn ~0.1-0.5% (the original 0.5% bar was fooled
+    # in some windows and left a stall alive); a REMOTE XLA compile
+    # through the tunnel burns only ~1.8% locally (a 2% bar false-killed
+    # one mid-compile); local decode/compile burns 50-100%+.  1% sits
+    # between the two observed regimes, and upload phases additionally
+    # log per-tensor lines, resetting mtime anyway.
+    cpu_min=$POLL; [ "$cpu_min" -lt 1 ] && cpu_min=1
     cpu_now=$(child_cpu "$PID")
     if [ "$cpu_now" -ge $((cpu_prev + cpu_min)) ]; then
       cpu_prev="$cpu_now"
