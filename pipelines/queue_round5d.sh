@@ -88,23 +88,27 @@ publish_run() {
   done
 }
 
-run_one() {  # run_one <full_id> <log_tag> <dtype> <extra args...>
-  local id="$1" tag="$2" dt="$3"; shift 3
+run_one() {  # run_one <full_id> <log_tag> <dtype> <calib|nocalib> <extra...>
+  local id="$1" tag="$2" dt="$3" cal="$4"; shift 4
   bash pipelines/watchdog.sh "logs/r5d_${tag}/run.log" 420 -- \
     python pipelines/resume_synth_paper.py --box_id "$BOX" --skip_box \
       --dataset_folder "$DF" --data_examples 1024 --full_id "$id" \
       --dtype "$dt" "$@"
-  bash pipelines/watchdog.sh "logs/r5d_${tag}/calib.log" 420 -- \
-    python pipelines/calibrate_count.py --model_id "$id" \
-      --dataset_folder "$DF" --batch_size 8
+  # Lever runs skip the calibration pass (~15 min each): the eval sweep
+  # already carries the count_acc/|DiC|/SBD the lever comparison needs.
+  if [ "$cal" = calib ]; then
+    bash pipelines/watchdog.sh "logs/r5d_${tag}/calib.log" 420 -- \
+      python pipelines/calibrate_count.py --model_id "$id" \
+        --dataset_folder "$DF" --batch_size 8
+  fi
   publish_run "$id" "round 5 ${tag}: ${id} artifacts (queue autopublish)"
 }
 
-run_one full_model_s1024_ft0-r5 L0_control bfloat16 \
+run_one full_model_s1024_ft0-r5 L0_control bfloat16 nocalib \
   --finetune_from "$BASE1024" --full_steps 8000
-run_one full_model_s1024_ftA-r5 L1_alpha bfloat16 \
+run_one full_model_s1024_ftA-r5 L1_alpha bfloat16 nocalib \
   --finetune_from "$BASE1024" --full_steps 8000 --segm_weight_alpha 0.5
-run_one full_model_s1024_ftV-r5 L2_dynvar bfloat16 \
+run_one full_model_s1024_ftV-r5 L2_dynvar bfloat16 nocalib \
   --finetune_from "$BASE1024" --full_steps 8000 --dynamic_var
 env $CPU python pipelines/compare_runs.py \
   --ids full_model_s1024_ft0-r5,full_model_s1024_ftA-r5,full_model_s1024_ftV-r5 \
@@ -121,7 +125,7 @@ commit_files "round 5: counting-lever comparison table" "$NOTES" RESULTS.md \
 # bf16 accuracy validation, cheap form first: an f32 finetune twin of the
 # L0 control isolates dtype at identical budget/seed/data (VERDICT r4 #4);
 # the full-30k bf16 baseline below then extends it if round time remains.
-run_one full_model_s1024_ft0f32-r5 L0f32_control float32 \
+run_one full_model_s1024_ft0f32-r5 L0f32_control float32 nocalib \
   --finetune_from "$BASE1024" --full_steps 8000
 env $CPU python pipelines/compare_runs.py \
   --ids full_model_s1024_ft0f32-r5,full_model_s1024_ft0-r5 \
@@ -130,7 +134,7 @@ env $CPU python pipelines/compare_runs.py \
   --notes "$NOTES" >> logs/r5d.log 2>&1
 commit_files "round 5: bf16-vs-f32 dtype-isolation table" "$NOTES" logs/r5d.log
 
-run_one full_model_synth1024bf16-r5 C_bf16 bfloat16 --full_steps 30000
+run_one full_model_synth1024bf16-r5 C_bf16 bfloat16 calib --full_steps 30000
 env $CPU python pipelines/compare_runs.py \
   --ids ${BASE1024},full_model_synth1024bf16-r5 \
   --labels "f32 (r4)","bf16 (r5)" \
@@ -139,7 +143,7 @@ env $CPU python pipelines/compare_runs.py \
 commit_files "round 5: bf16 accuracy-validation table" "$NOTES" logs/r5d.log
 
 # ---- 4/5. leftover-time items ------------------------------------------
-run_one full_model_s1024_ftK-r5 L3_knob bfloat16 \
+run_one full_model_s1024_ftK-r5 L3_knob bfloat16 nocalib \
   --finetune_from "$BASE1024" --full_steps 8000 \
   --steps_per_knob_decay 1400 --knob_segm_offset 1500
 
