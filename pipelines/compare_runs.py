@@ -71,10 +71,14 @@ def render(rows, labels, title):
       return '—'
     return f'{d[metric]:.4f}'
 
+  # Headline (train-calibrated) rows only exist for runs that went through
+  # calibrate_count.py; lever finetunes skip it, so drop rows that would
+  # render as all-dashes.
   for metric in METRICS:
-    lines.append(f'| {metric} (headline) | '
-                 + ' | '.join(fmt(r, 'headline', metric) for r in rows)
-                 + ' |')
+    if any(r.get('headline') and metric in r['headline'] for r in rows):
+      lines.append(f'| {metric} (headline) | '
+                   + ' | '.join(fmt(r, 'headline', metric) for r in rows)
+                   + ' |')
   for metric in ('sbd', 'count_acc', 'dic_abs'):
     lines.append(f'| {metric} (best-of-sweep) | '
                  + ' | '.join(fmt(r, 'sweep', metric) for r in rows)

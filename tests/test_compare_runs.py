@@ -78,6 +78,19 @@ def test_compare_runs_table_and_notes_append(tmp_path, capsys):
   assert doc.count('### lever smoke') == 2
 
 
+def test_compare_runs_drops_all_empty_headline_rows(tmp_path, capsys):
+  # Lever finetunes skip calibrate_count.py; a table where NO run has a
+  # calibrated headline must not render rows of em-dashes.
+  results, logs = str(tmp_path / 'res'), str(tmp_path / 'logs')
+  _make_run(results, logs, 'run_a', headline=False)
+  _make_run(results, logs, 'run_b', headline=False)
+  compare_runs.main(['--ids', 'run_a,run_b', '--results', results,
+                     '--logs', logs])
+  out = capsys.readouterr().out
+  assert '(headline)' not in out
+  assert '| sbd (best-of-sweep) | 0.8000 | 0.8000 |' in out
+
+
 def test_compare_runs_missing_run_renders_dashes(tmp_path, capsys):
   results, logs = str(tmp_path / 'res'), str(tmp_path / 'logs')
   _make_run(results, logs, 'run_a')
