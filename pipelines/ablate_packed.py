@@ -39,6 +39,10 @@ def main(argv=None):
   p.add_argument('--steps', default=6000, type=int)
   p.add_argument('--batch_size', default=4, type=int)
   p.add_argument('--dataset_folder', default=None)
+  p.add_argument('--resume', action='store_true',
+                 help='continue the twin from its latest checkpoint '
+                      '(a watchdog relaunch or a killed queue must not '
+                      'restart the 12k-step run from scratch)')
   args = p.parse_args(argv)
 
   import yaml
@@ -58,9 +62,15 @@ def main(argv=None):
       f'--baseline_id {args.baseline_id!r} must start with "box_model_" — '
       'otherwise the ablation twin would train INTO the baseline folder, '
       'clobbering the checkpoint being compared against')
+  import glob
+  twin_folder = os.path.join(args.results, ablate_id)
+  restore = (twin_folder if args.resume
+             and glob.glob(os.path.join(twin_folder, 'ckpt-*.npz'))
+             else None)
   train_cfg = C.TrainConfig(model_id=ablate_id, num_steps=args.steps,
                             batch_size=args.batch_size, save_ckpt=True,
                             results=args.results, logs=args.logs,
+                            restore=restore,
                             steps_per_valid=250, steps_per_trainval=250,
                             steps_per_plot=0, num_batch_valid=4,
                             prefetch=True, num_worker=2, device_data=True)
@@ -80,6 +90,7 @@ def main(argv=None):
         'valid_iou_soft_box_tail5': tail_mean(iou_v),
         'steps': loss[-1][0] if loss else None,
     }
+  os.makedirs(os.path.join(args.results, ablate_id), exist_ok=True)
   out = os.path.join(args.results, ablate_id, 'ablation.json')
   with open(out, 'w') as f:
     json.dump(table, f, indent=2)
