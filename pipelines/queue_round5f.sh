@@ -77,6 +77,15 @@ CB=full_model_synth1024bf16-r5
 bash pipelines/watchdog.sh logs/r5f_C_bf16/calib.log 420 -- \
   python pipelines/calibrate_count.py --model_id "$CB" \
     --dataset_folder "$DF" --batch_size 8
+# The f32 comparator never got a calibration pass (its original
+# data/synth224x1024 folder was wiped by a VM restore; data/synth224 is
+# the deterministic regeneration at the same example count) — calibrate
+# it too so the dtype table compares train-calibrated headlines, not just
+# best-of-sweep rows.
+bash pipelines/watchdog.sh logs/r5f_f32base/calib.log 420 -- \
+  python pipelines/calibrate_count.py --model_id "$BASE1024" \
+    --dataset_folder "$DF" --batch_size 8
+publish_run "$BASE1024" "round 5: f32 1024-flagship calibration artifacts"
 publish_run "$CB" "round 5 C_bf16: ${CB} artifacts (queue autopublish)"
 env $CPU python pipelines/compare_runs.py \
   --ids ${BASE1024},"$CB" \
