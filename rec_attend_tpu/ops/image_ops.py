@@ -99,6 +99,10 @@ def random_transformation(key, x, padding, train, rnd_hflip=True,
     assert not rnd_vflip and not rnd_hflip and not rnd_transpose, (
         'Orientation mode is on, no random flips/transpose '
         '(ref image_ops.py:41-44)')
+  if rnd_transpose:
+    assert x.shape[1] == x.shape[2], (
+        'rnd_transpose needs a square image (only the CVPPP preset '
+        'enables it, ref cmd_args_parser.py:66-70)')
 
   h, w = x.shape[1], x.shape[2]
   pad_x = [(0, 0), (padding, padding), (padding, padding), (0, 0)]
